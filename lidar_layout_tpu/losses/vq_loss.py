@@ -1,0 +1,151 @@
+"""VQ-GAN objective for range-image autoencoders.
+
+Parity: ``lidm/modules/losses/vqperceptual.py:14-273`` VQGeoLPIPSWithDiscriminator —
+pixel L1 + ray-drop-mask L1 + BEV geometry squared distance + smoothness + normal
+consistency + hinge GAN with an adaptive weight computed from last-layer gradients.
+
+Structured functionally: this module computes the NLL (reconstruction) side and the
+GAN terms given a discriminator apply-fn; the two-optimizer alternation and the
+adaptive-weight gradient trick live in ``train/ae_trainer.py`` where params are
+in scope.
+
+Note on the discriminator gate: the reference computes
+``disc_factor = 0 if global_step > disc_start else disc_factor``
+(vqperceptual.py:154) — i.e. the GAN terms are active only *until* ``disc_start``,
+the opposite of the usual VQ-GAN warm-up. ``disc_gate='until'`` reproduces that
+behavior (the published checkpoints trained this way); ``'after'`` gives the
+conventional warm-up.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .geometric import (GeoConverter, normal_consistency_loss, smoothness_loss,
+                        square_dist_loss)
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class VQLossConfig:
+    codebook_weight: float = 1.0
+    pixelloss_weight: float = 1.0
+    pixel_loss: str = "l1"          # "l1" | "l2"
+    mask_factor: float = 0.0
+    geo_factor: float = 1.0
+    perceptual_factor: float = 0.0  # rangenet perceptual; wired in when eval nets land
+    smooth_factor: float = 0.1
+    norm_factor: float = 0.1
+    disc_start: int = 1
+    disc_factor: float = 1.0
+    disc_weight: float = 0.6
+    disc_loss: str = "hinge"        # "hinge" | "vanilla"
+    disc_gate: str = "until"        # "until" (reference parity) | "after"
+    curve_length: int = 4
+
+    @property
+    def rec_scale(self) -> float:
+        """Normalizer over active reconstruction terms (vqperceptual.py:29-36)."""
+        s = 1.0
+        if self.mask_factor > 0:
+            s += 1.0
+        if self.geo_factor > 0:
+            s += 1.0
+        if self.perceptual_factor > 0:
+            s += 1.0
+        return s
+
+
+def _pixel_loss(cfg: VQLossConfig, x: Array, y: Array) -> Array:
+    if cfg.pixel_loss == "l1":
+        return jnp.abs(x - y)
+    return (x - y) ** 2
+
+
+def disc_factor_at(cfg: VQLossConfig, global_step: Array) -> Array:
+    """GAN term gate; see module docstring for the 'until' quirk."""
+    if cfg.disc_gate == "until":
+        return jnp.where(global_step > cfg.disc_start, 0.0, cfg.disc_factor)
+    return jnp.where(global_step < cfg.disc_start, 0.0, cfg.disc_factor)
+
+
+def reconstruction_nll(cfg: VQLossConfig, geo: GeoConverter, inputs: Array,
+                       reconstructions: Array, masks: Optional[Array] = None,
+                       perceptual_fn: Optional[Callable[[Array, Array], Array]] = None,
+                       ) -> Tuple[Array, Dict[str, Array]]:
+    """NLL side of the generator loss (vqperceptual.py:87-151).
+
+    Args:
+      inputs: (B, H, W, 1) model-space range images.
+      reconstructions: (B, H, W, C) decoder output (C=2 when mask head is on).
+      masks: (B, H, W, 1) ray-drop target (+1 return / -1 drop).
+
+    Returns (nll_loss scalar, parts dict). The caller adds GAN + codebook terms.
+    """
+    rec_range = reconstructions[..., 0:1]
+    input_coord = geo(inputs)
+    rec_coord = geo(rec_range)
+    gt_depth = geo.depth_from_model(inputs)
+    pred_depth = geo.depth_from_model(rec_range)
+
+    if cfg.mask_factor > 0 and masks is not None:
+        pixel_rec = _pixel_loss(cfg, inputs, rec_range)
+        mask_rec = _pixel_loss(cfg, masks, reconstructions[..., 1:2]) * cfg.mask_factor
+    else:
+        pixel_rec = _pixel_loss(cfg, inputs, reconstructions)
+        mask_rec = jnp.zeros_like(pixel_rec)
+
+    geo_rec = (square_dist_loss(input_coord[..., :2], rec_coord[..., :2])
+               * cfg.geo_factor) if cfg.geo_factor > 0 else jnp.asarray(0.0)
+
+    perceptual = jnp.asarray(0.0)
+    if cfg.perceptual_factor > 0 and perceptual_fn is not None:
+        perceptual = perceptual_fn(inputs, rec_range) * cfg.perceptual_factor
+
+    smooth = (smoothness_loss(pred_depth, gt_depth) * cfg.smooth_factor
+              if cfg.smooth_factor > 0 else jnp.asarray(0.0))
+    normal = (normal_consistency_loss(geo, input_coord, rec_coord) * cfg.norm_factor
+              if cfg.norm_factor > 0 else jnp.asarray(0.0))
+
+    rec_loss = (jnp.mean(pixel_rec) + jnp.mean(mask_rec)
+                + jnp.mean(geo_rec) + jnp.mean(perceptual)) / cfg.rec_scale
+    nll = rec_loss + smooth + normal
+
+    parts = {
+        "rec_loss": rec_loss,
+        "pix_rec_loss": jnp.mean(pixel_rec),
+        "mask_rec_loss": jnp.mean(mask_rec),
+        "geo_rec_loss": jnp.mean(geo_rec),
+        "perceptual_loss": jnp.mean(perceptual),
+        "smooth_loss": smooth,
+        "normal_loss": normal,
+    }
+    return nll, parts
+
+
+def assemble_disc_input(cfg: VQLossConfig, geo: GeoConverter, imgs: Array,
+                        masks: Optional[Array], is_recon: bool) -> Array:
+    """Channel stack fed to the discriminator (vqperceptual.py:156-204):
+    [range(+mask channel), xy coords when geo_factor>0]."""
+    feats = [imgs]
+    if is_recon:
+        rng_ch = imgs[..., 0:1]
+    else:
+        rng_ch = imgs
+        if cfg.mask_factor > 0 and masks is not None:
+            feats = [imgs, masks]
+    if cfg.geo_factor > 0:
+        coord = geo(rng_ch)
+        feats.append(coord[..., :2])
+    return jnp.concatenate(feats, axis=-1) if len(feats) > 1 else feats[0]
+
+
+def adaptive_weight_from_grads(nll_grad_norm: Array, g_grad_norm: Array,
+                               disc_weight: float) -> Array:
+    """d_weight = |∇nll| / (|∇g| + 1e-4), clipped to [0, 1e4] (vqperceptual.py:74-85)."""
+    w = nll_grad_norm / (g_grad_norm + 1e-4)
+    return jnp.clip(w, 0.0, 1e4) * disc_weight
