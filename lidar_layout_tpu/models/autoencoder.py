@@ -95,7 +95,8 @@ class Decoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, z: Array, deterministic: bool = True) -> Array:
+    def __call__(self, z: Array, deterministic: bool = True,
+                 return_prefinal: bool = False):
         cfg = self.cfg
         num_levels = len(cfg.ch_mult)
         stride2kernel = {(2, 2): (3, 3), (1, 2): (1, 4)}
@@ -130,10 +131,14 @@ class Decoder(nn.Module):
 
         h = Normalize(name="norm_out")(h)
         h = nonlinearity(h)
+        prefinal = h  # input to the last layer; the adaptive GAN weight
+        # (vqperceptual.py:74-85) differentiates the losses w.r.t. conv_out only
         h = CircularConv(cfg.out_ch, (1, 4), (1, 1), (1, 2, 0, 0),
                          dtype=self.dtype, name="conv_out")(h)
         if cfg.tanh_out:
             h = jnp.tanh(h)
+        if return_prefinal:
+            return h, prefinal
         return h
 
 
@@ -187,6 +192,14 @@ class VQModel(nn.Module):
         quant, diff, ind = self.encode(x, deterministic=deterministic)
         dec = self.decode(quant, deterministic=deterministic)
         return dec, diff, ind
+
+    def forward_with_prefinal(self, x: Array, deterministic: bool = True):
+        """Forward that also returns the last-layer input (for adaptive GAN weight)."""
+        quant, diff, ind = self.encode(x, deterministic=deterministic)
+        dec, prefinal = self.decoder(self.post_quant_conv(quant),
+                                     deterministic=deterministic,
+                                     return_prefinal=True)
+        return dec, diff, ind, prefinal
 
 
 class VQModelInterface(VQModel):

@@ -1,0 +1,232 @@
+"""DDPM / latent diffusion over range-image latents.
+
+Parity targets:
+  - DDPM base math: ``lidm/models/diffusion/ddpm.py:45-423`` (schedules, q_sample,
+    p_losses with eps/x0 parameterization, l_simple/elbo weighting, logvar).
+  - LatentDiffusion: ``ddpm.py:425-1409`` — frozen first stage, scale_factor
+    (optionally calibrated from data std), conditioning-key dispatch
+    (DiffusionWrapper ``ddpm.py:2306-2339``).
+
+TPU-first: the model is a *pure function container* — parameters are explicit
+pytrees, the whole train step jits into one XLA program, and sampling loops are
+``lax.scan`` bodies (see ``samplers.py``). No Lightning-style mutable module.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .autoencoder import AEConfig, VQModelInterface, apply_raydrop
+from .schedules import DiffusionSchedule, extract, q_sample
+from .unet import UNetConfig, UNetModel
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class DiffusionConfig:
+    """model.params block of the reference LiDM configs."""
+
+    timesteps: int = 1024
+    beta_schedule: str = "linear"
+    linear_start: float = 0.0015
+    linear_end: float = 0.0195
+    cosine_s: float = 8e-3
+    parameterization: str = "eps"       # "eps" | "x0"
+    loss_type: str = "l2"               # "l1" | "l2"
+    l_simple_weight: float = 1.0
+    original_elbo_weight: float = 0.0
+    v_posterior: float = 0.0
+    learn_logvar: bool = False
+    logvar_init: float = 0.0
+    conditioning_key: Optional[str] = None  # None|concat|crossattn|hybrid|adm
+    scale_factor: float = 1.0
+    scale_by_std: bool = False
+    cond_stage_trainable: bool = False
+    latent_shape: Tuple[int, int, int] = (16, 128, 8)  # (H, W, C) of z
+
+
+class LatentDiffusion:
+    """Bundles U-Net + frozen first stage + optional conditioning encoder.
+
+    Parameters are explicit: ``params = {"unet", "first_stage", "cond_stage",
+    "logvar"}``. Only "unet" (+ "cond_stage" when trainable) receive gradients.
+    """
+
+    def __init__(self, cfg: DiffusionConfig, unet_cfg: UNetConfig,
+                 first_stage_cfg: Optional[AEConfig] = None,
+                 n_embed: int = 16384, embed_dim: int = 8, use_mask: bool = True,
+                 cond_stage: Optional[nn.Module] = None,
+                 dtype=jnp.float32):
+        self.cfg = cfg
+        self.schedule = DiffusionSchedule.create(
+            timesteps=cfg.timesteps, beta_schedule=cfg.beta_schedule,
+            linear_start=cfg.linear_start, linear_end=cfg.linear_end,
+            cosine_s=cfg.cosine_s, v_posterior=cfg.v_posterior,
+            parameterization=cfg.parameterization)
+        self.unet = UNetModel(unet_cfg, dtype=dtype)
+        self.first_stage = (VQModelInterface(first_stage_cfg, n_embed=n_embed,
+                                             embed_dim=embed_dim, use_mask=use_mask,
+                                             dtype=dtype)
+                            if first_stage_cfg is not None else None)
+        self.cond_stage = cond_stage
+
+    # ------------------------------------------------------------------ init
+    def init(self, rng: Array, image_shape: Tuple[int, int, int],
+             cond_example: Any = None) -> Dict[str, Any]:
+        h, w, c = self.cfg.latent_shape
+        r1, r2, r3 = jax.random.split(rng, 3)
+        z = jnp.zeros((1, h, w, c))
+        t = jnp.zeros((1,), jnp.int32)
+
+        context = None
+        concat = None
+        y = None
+        cond_params = {}
+        if self.cond_stage is not None and cond_example is not None:
+            cond_params = self.cond_stage.init(r3, cond_example)
+            cond_out = self.cond_stage.apply(cond_params, cond_example)
+            context, concat, y = self._split_cond(cond_out)
+
+        unet_in = z if concat is None else jnp.concatenate([z, concat], axis=-1)
+        unet_params = self.unet.init(r1, unet_in, t, context=context, y=y)
+
+        fs_params = {}
+        if self.first_stage is not None:
+            x = jnp.zeros((1, *image_shape))
+            fs_params = self.first_stage.init(r2, x)
+
+        return {
+            "unet": unet_params,
+            "first_stage": fs_params,
+            "cond_stage": cond_params,
+            "logvar": jnp.full((self.cfg.timesteps,), self.cfg.logvar_init),
+        }
+
+    # -------------------------------------------------------- first stage io
+    def encode_first_stage(self, params, x: Array) -> Array:
+        """x -> scaled latent z (ddpm.py:830-872). Frozen: stop_gradient."""
+        if self.first_stage is None:  # IdentityFirstStage (pixel-space diffusion)
+            return x
+        z = self.first_stage.apply(
+            params["first_stage"], x,
+            method=lambda m, x: m.encode_to_prequant(x))
+        return jax.lax.stop_gradient(self.cfg.scale_factor * z)
+
+    def decode_first_stage(self, params, z: Array,
+                           force_not_quantize: bool = False) -> Array:
+        if self.first_stage is None:
+            return z
+        z = z / self.cfg.scale_factor
+        return self.first_stage.apply(
+            params["first_stage"], z, force_not_quantize,
+            method=lambda m, h, f: m.decode_latent(h, force_not_quantize=f))
+
+    def get_learned_conditioning(self, params, cond: Any) -> Any:
+        if self.cond_stage is None:
+            return cond
+        out = self.cond_stage.apply(params["cond_stage"], cond)
+        if not self.cfg.cond_stage_trainable:
+            out = jax.lax.stop_gradient(out)
+        return out
+
+    # ------------------------------------------------------------- the model
+    @staticmethod
+    def _split_cond(cond: Any) -> Tuple[Optional[Array], Optional[Array], Optional[Array]]:
+        """Normalize conditioning into (context, concat, label)."""
+        if cond is None:
+            return None, None, None
+        if isinstance(cond, dict):
+            return cond.get("c_crossattn"), cond.get("c_concat"), cond.get("c_adm")
+        return cond, None, None  # bare array: meaning depends on conditioning_key
+
+    def apply_model(self, params, x_noisy: Array, t: Array, cond: Any = None,
+                    deterministic: bool = True, rngs=None) -> Array:
+        """DiffusionWrapper dispatch (ddpm.py:2313-2339)."""
+        key = self.cfg.conditioning_key
+        context = concat = y = None
+        if key is None:
+            pass
+        elif key == "concat":
+            _, concat, _ = self._split_cond(cond)
+            if concat is None:
+                concat = cond
+        elif key in ("crossattn", "layout_crossattn", "graph_crossattn"):
+            context, _, _ = self._split_cond(cond)
+        elif key == "hybrid":
+            context, concat, _ = self._split_cond(cond)
+        elif key == "adm":
+            _, _, y = self._split_cond(cond)
+            if y is None:
+                y = cond
+        else:
+            raise NotImplementedError(key)
+
+        x_in = x_noisy if concat is None else jnp.concatenate([x_noisy, concat], axis=-1)
+        return self.unet.apply(params["unet"], x_in, t, context=context, y=y,
+                               deterministic=deterministic, rngs=rngs)
+
+    # ----------------------------------------------------------------- loss
+    def p_losses(self, params, rng: Array, x_start: Array, cond: Any,
+                 t: Array, deterministic: bool = False
+                 ) -> Tuple[Array, Dict[str, Array]]:
+        """ddpm.py:1020-1060 (LatentDiffusion.p_losses)."""
+        noise = jax.random.normal(rng, x_start.shape, dtype=x_start.dtype)
+        x_noisy = q_sample(self.schedule, x_start, t, noise)
+        model_out = self.apply_model(params, x_noisy, t, cond,
+                                     deterministic=deterministic)
+
+        target = noise if self.cfg.parameterization == "eps" else x_start
+        if self.cfg.loss_type == "l2":
+            per = (model_out - target) ** 2
+        else:
+            per = jnp.abs(model_out - target)
+        loss_simple = per.mean(axis=tuple(range(1, per.ndim)))  # (B,)
+
+        logvar_t = params["logvar"][t]
+        if not self.cfg.learn_logvar:
+            logvar_t = jax.lax.stop_gradient(logvar_t)
+        loss = loss_simple / jnp.exp(logvar_t) + logvar_t
+        loss = self.cfg.l_simple_weight * loss.mean()
+
+        lvlb = jnp.asarray(self.schedule.lvlb_weights, per.dtype)[t]
+        loss_vlb = (lvlb * loss_simple).mean()
+        loss = loss + self.cfg.original_elbo_weight * loss_vlb
+
+        logs = {"loss_simple": loss_simple.mean(), "loss_vlb": loss_vlb,
+                "loss": loss}
+        return loss, logs
+
+    def training_loss(self, params, rng: Array, batch: Dict[str, Array],
+                      deterministic: bool = False) -> Tuple[Array, Dict[str, Array]]:
+        """One full shared_step: encode, sample t, p_losses (ddpm.py:874-880)."""
+        r_t, r_noise, r_drop = jax.random.split(rng, 3)
+        x = batch["image"]
+        z = self.encode_first_stage(params, x)
+        cond = None
+        if self.cfg.conditioning_key is not None:
+            cond = self.get_learned_conditioning(params, batch["cond"])
+        t = jax.random.randint(r_t, (x.shape[0],), 0, self.cfg.timesteps)
+        return self.p_losses(params, r_noise, z, cond, t,
+                             deterministic=deterministic)
+
+    # ------------------------------------------------------------- sampling
+    def predict_eps_from_x(self, x_t: Array, t: Array, pred_x0: Array) -> Array:
+        s = self.schedule
+        return ((extract(s.sqrt_recip_alphas_cumprod, t, x_t.ndim) * x_t - pred_x0)
+                / extract(s.sqrt_recipm1_alphas_cumprod, t, x_t.ndim))
+
+    def eps_from_model_out(self, x_t: Array, t: Array, out: Array) -> Array:
+        """Model output -> epsilon, whatever the parameterization."""
+        if self.cfg.parameterization == "eps":
+            return out
+        return self.predict_eps_from_x(x_t, t, out)
+
+
+def calibrate_scale_factor(z: Array) -> float:
+    """scale_by_std calibration: 1/std(z) over the first batch (ddpm.py:540-553)."""
+    return float(1.0 / jnp.std(z))

@@ -71,7 +71,10 @@ class DiffusionSchedule:
                               * (1.0 - alphas_cumprod_prev) / (1.0 - alphas_cumprod)
                               + v_posterior * betas)
         if parameterization == "eps":
-            lvlb = betas ** 2 / (2 * posterior_variance * alphas * (1 - alphas_cumprod))
+            # posterior_variance[0] == 0 -> inf at t=0; overwritten below
+            with np.errstate(divide="ignore"):
+                lvlb = betas ** 2 / (2 * posterior_variance * alphas
+                                     * (1 - alphas_cumprod))
         elif parameterization == "x0":
             lvlb = 0.5 * np.sqrt(alphas_cumprod) / (2.0 * (1 - alphas_cumprod))
         else:

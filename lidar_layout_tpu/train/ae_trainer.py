@@ -1,0 +1,143 @@
+"""VQ-GAN autoencoder training: two optimizers + adaptive GAN weight, one jit.
+
+Parity: ``lidm/models/ae/autoencoder.py:155-245`` (alternating optimizer_idx 0/1
+per batch under Lightning — both run every step) + ``vqperceptual.py:74-215``
+(hinge GAN with last-layer-gradient adaptive weight).
+
+The adaptive weight needs d||nll||/d(conv_out) and d||g||/d(conv_out). Instead of
+retain_graph double-backward (the torch trick), we save the decoder's pre-final
+activation and take two *small* ``jax.grad``s over just the last conv's params —
+re-running only the last conv + loss math, not the whole network. Everything
+(generator update, discriminator update, EMA) compiles into one XLA program.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import chex
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..losses.discriminator import hinge_d_loss, vanilla_d_loss
+from ..losses.geometric import GeoConverter
+from ..losses.vq_loss import (VQLossConfig, adaptive_weight_from_grads,
+                              assemble_disc_input, disc_factor_at,
+                              reconstruction_nll)
+from ..models.autoencoder import VQModel
+from ..nn.conv import CircularConv
+from ..nn.ema import EmaState, init_ema, update_ema
+
+Array = jax.Array
+
+
+@chex.dataclass
+class AETrainState:
+    params_g: Any
+    params_d: Any
+    opt_g: Any
+    opt_d: Any
+    step: Array
+
+
+def make_ae_optimizers(lr_g: float, lr_d: float):
+    """Adam(0.5, 0.9) pair (autoencoder.py:219-226)."""
+    return (optax.adam(lr_g, b1=0.5, b2=0.9), optax.adam(lr_d, b1=0.5, b2=0.9))
+
+
+def create_ae_state(model: VQModel, disc: nn.Module, rng: Array,
+                    image_shape: Tuple[int, int, int],
+                    tx_g, tx_d, loss_cfg: VQLossConfig,
+                    geo: GeoConverter) -> AETrainState:
+    rg, rd = jax.random.split(rng)
+    x = jnp.zeros((1, *image_shape))
+    params_g = model.init(rg, x)
+    dec, _, _ = model.apply(params_g, x)
+    disc_in = assemble_disc_input(loss_cfg, geo, dec, None, is_recon=True)
+    params_d = disc.init(rd, disc_in)
+    return AETrainState(params_g=params_g, params_d=params_d,
+                        opt_g=tx_g.init(params_g), opt_d=tx_d.init(params_d),
+                        step=jnp.zeros((), jnp.int32))
+
+
+def make_ae_train_step(model: VQModel, disc: nn.Module, loss_cfg: VQLossConfig,
+                       geo: GeoConverter, tx_g, tx_d,
+                       perceptual_fn: Optional[Callable] = None) -> Callable:
+    """Returns step(state, batch, rng) -> (state, logs)."""
+    d_loss_fn = hinge_d_loss if loss_cfg.disc_loss == "hinge" else vanilla_d_loss
+    out_ch = model.cfg.out_ch
+    last_conv = CircularConv(out_ch, (1, 4), (1, 1), (1, 2, 0, 0))
+
+    def nll_from_dec(dec, x, masks):
+        return reconstruction_nll(loss_cfg, geo, x, dec, masks,
+                                  perceptual_fn=perceptual_fn)
+
+    def gen_loss(params_g, params_d, x, masks, global_step):
+        dec, qloss, ind, prefinal = model.apply(
+            params_g, x, method=VQModel.forward_with_prefinal)
+        nll, parts = nll_from_dec(dec, x, masks)
+
+        disc_recon = assemble_disc_input(loss_cfg, geo, dec, masks, is_recon=True)
+        logits_fake = disc.apply(params_d, disc_recon)
+        g_loss = -jnp.mean(logits_fake)
+
+        # ---- adaptive weight: grads of both losses wrt the last conv only ----
+        w_last = params_g["params"]["decoder"]["conv_out"]
+        a = jax.lax.stop_gradient(prefinal)
+
+        def nll_of_w(w):
+            d = last_conv.apply({"params": w}, a)
+            return nll_from_dec(d, x, masks)[0]
+
+        def g_of_w(w):
+            d = last_conv.apply({"params": w}, a)
+            di = assemble_disc_input(loss_cfg, geo, d, masks, is_recon=True)
+            return -jnp.mean(disc.apply(jax.lax.stop_gradient(params_d), di))
+
+        nll_g = jax.grad(nll_of_w)(jax.lax.stop_gradient(w_last))["conv"]["kernel"]
+        gan_g = jax.grad(g_of_w)(jax.lax.stop_gradient(w_last))["conv"]["kernel"]
+        d_weight = adaptive_weight_from_grads(
+            jnp.linalg.norm(nll_g.reshape(-1)), jnp.linalg.norm(gan_g.reshape(-1)),
+            loss_cfg.disc_weight)
+        d_weight = jax.lax.stop_gradient(d_weight)
+
+        disc_factor = disc_factor_at(loss_cfg, global_step)
+        loss = nll + d_weight * disc_factor * g_loss + loss_cfg.codebook_weight * qloss
+        parts.update({"total_loss": loss, "quant_loss": qloss, "g_loss": g_loss,
+                      "d_weight": d_weight, "nll_loss": nll})
+        return loss, (parts, dec)
+
+    def disc_loss(params_d, x, dec, masks, global_step):
+        disc_in = assemble_disc_input(loss_cfg, geo, jax.lax.stop_gradient(x),
+                                      masks, is_recon=False)
+        disc_rec = assemble_disc_input(loss_cfg, geo, jax.lax.stop_gradient(dec),
+                                       masks, is_recon=True)
+        logits_real = disc.apply(params_d, disc_in)
+        logits_fake = disc.apply(params_d, disc_rec)
+        loss = d_loss_fn(logits_real, logits_fake) * disc_factor_at(loss_cfg, global_step)
+        return loss, {"disc_loss": loss, "logits_real": jnp.mean(logits_real),
+                      "logits_fake": jnp.mean(logits_fake)}
+
+    @jax.jit
+    def step(state: AETrainState, batch: Dict[str, Array], rng: Array):
+        x = batch["image"]
+        masks = batch.get("mask") if loss_cfg.mask_factor > 0 else None
+
+        # optimizer_idx == 0: generator
+        (gl, (parts, dec)), grads_g = jax.value_and_grad(gen_loss, has_aux=True)(
+            state.params_g, state.params_d, x, masks, state.step)
+        upd_g, opt_g = tx_g.update(grads_g, state.opt_g, state.params_g)
+        params_g = optax.apply_updates(state.params_g, upd_g)
+
+        # optimizer_idx == 1: discriminator (on the pre-update recon, as PL does)
+        (dl, dparts), grads_d = jax.value_and_grad(disc_loss, has_aux=True)(
+            state.params_d, x, dec, masks, state.step)
+        upd_d, opt_d = tx_d.update(grads_d, state.opt_d, state.params_d)
+        params_d = optax.apply_updates(state.params_d, upd_d)
+
+        logs = {**parts, **dparts}
+        return AETrainState(params_g=params_g, params_d=params_d,
+                            opt_g=opt_g, opt_d=opt_d, step=state.step + 1), logs
+
+    return step

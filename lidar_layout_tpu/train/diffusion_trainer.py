@@ -1,0 +1,100 @@
+"""Latent-diffusion training: one jitted SPMD step.
+
+Replaces the reference's Lightning ``training_step`` + DDP (main.py:751,
+ddpm.py:343): encode first stage (frozen), sample t, p_losses, AdamW update,
+EMA — all inside a single XLA program with donated state. Data parallelism
+comes from sharding the batch over the mesh; XLA inserts the gradient
+all-reduce (the NCCL allreduce equivalent) automatically.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import chex
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.diffusion import LatentDiffusion
+from ..nn.ema import EmaState, init_ema, update_ema
+
+Array = jax.Array
+
+
+@chex.dataclass
+class DiffusionTrainState:
+    params: Any          # {"unet", "first_stage", "cond_stage", "logvar"}
+    opt_state: Any
+    ema: EmaState        # over the U-Net (+ cond stage when trainable)
+    step: Array
+
+
+def trainable_keys(model: LatentDiffusion) -> Tuple[str, ...]:
+    keys = ["unet"]
+    if model.cfg.cond_stage_trainable and model.cond_stage is not None:
+        keys.append("cond_stage")
+    if model.cfg.learn_logvar:
+        keys.append("logvar")
+    return tuple(keys)
+
+
+def split_params(params: Dict[str, Any], keys: Tuple[str, ...]):
+    train = {k: params[k] for k in keys}
+    frozen = {k: v for k, v in params.items() if k not in keys}
+    return train, frozen
+
+
+def make_optimizer(lr: float, weight_decay: float = 1e-2,
+                   grad_clip: Optional[float] = None) -> optax.GradientTransformation:
+    """AdamW as in configure_optimizers (ddpm.py:1378)."""
+    txs = []
+    if grad_clip:
+        txs.append(optax.clip_by_global_norm(grad_clip))
+    txs.append(optax.adamw(lr, weight_decay=weight_decay))
+    return optax.chain(*txs)
+
+
+def create_train_state(model: LatentDiffusion, params: Dict[str, Any],
+                       tx: optax.GradientTransformation) -> DiffusionTrainState:
+    keys = trainable_keys(model)
+    train, _ = split_params(params, keys)
+    return DiffusionTrainState(
+        params=params,
+        opt_state=tx.init(train),
+        ema=init_ema(train),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_train_step(model: LatentDiffusion, tx: optax.GradientTransformation,
+                    ema_decay: float = 0.9999) -> Callable:
+    """Returns step(state, batch, rng) -> (state, logs); jit with donation."""
+    keys = trainable_keys(model)
+
+    def loss_fn(train_params, frozen_params, rng, batch):
+        params = {**train_params, **frozen_params}
+        return model.training_loss(params, rng, batch, deterministic=True)
+
+    @jax.jit
+    def step(state: DiffusionTrainState, batch: Dict[str, Array], rng: Array):
+        train, frozen = split_params(state.params, keys)
+        (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            train, frozen, rng, batch)
+        updates, opt_state = tx.update(grads, state.opt_state, train)
+        train = optax.apply_updates(train, updates)
+        ema = update_ema(state.ema, train, ema_decay)
+        params = {**train, **frozen}
+        logs = dict(logs)
+        logs["grad_norm"] = optax.global_norm(grads)
+        return DiffusionTrainState(params=params, opt_state=opt_state, ema=ema,
+                                   step=state.step + 1), logs
+
+    return step
+
+
+def ema_params(model: LatentDiffusion, state: DiffusionTrainState) -> Dict[str, Any]:
+    """Full params with the EMA weights swapped in (ema_scope equivalent)."""
+    keys = trainable_keys(model)
+    _, frozen = split_params(state.params, keys)
+    return {**state.ema.params, **frozen}
