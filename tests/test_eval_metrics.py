@@ -1,0 +1,118 @@
+"""Eval toolbox tests: chamfer vs brute force, EMD sanity, JSD/MMD/Fréchet."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lidar_layout_tpu.eval import metrics as M
+from lidar_layout_tpu.eval.rangenet import RangeNet
+from lidar_layout_tpu.ops.chamfer import (chamfer_distance, chamfer_loss,
+                                          pairwise_cd)
+from lidar_layout_tpu.ops.emd import auction_match, emd_distance
+
+
+class TestChamfer:
+    def test_matches_bruteforce(self, rng):
+        x = rng.standard_normal((500, 3)).astype(np.float32)
+        y = rng.standard_normal((300, 3)).astype(np.float32)
+        d1, d2 = chamfer_distance(jnp.asarray(x), jnp.asarray(y))
+        bd1 = ((x[:, None] - y[None]) ** 2).sum(-1).min(1)
+        bd2 = ((y[:, None] - x[None]) ** 2).sum(-1).min(1)
+        np.testing.assert_allclose(np.asarray(d1), bd1, rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(d2), bd2, rtol=1e-3, atol=1e-4)
+
+    def test_identical_clouds_zero(self, rng):
+        x = rng.standard_normal((256, 3)).astype(np.float32)
+        assert float(pairwise_cd(jnp.asarray(x), jnp.asarray(x))) < 1e-6
+
+    def test_mask_excludes_padding(self, rng):
+        x = rng.standard_normal((100, 3)).astype(np.float32)
+        y = np.vstack([x, np.full((50, 3), 1e6, np.float32)])
+        ym = np.concatenate([np.ones(100, bool), np.zeros(50, bool)])
+        d = pairwise_cd(jnp.asarray(x), jnp.asarray(y), None, jnp.asarray(ym))
+        assert float(d) < 1e-6
+
+    def test_chamfer_grad(self, rng):
+        x = jnp.asarray(rng.standard_normal((64, 3)), jnp.float32)
+        y = jnp.asarray(rng.standard_normal((64, 3)), jnp.float32)
+        g = jax.grad(lambda a: chamfer_loss(a, y))(x)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).sum()) > 0
+
+
+class TestEMD:
+    def test_permutation_recovery(self, rng):
+        """For a permuted copy of the same cloud the optimal EMD is 0."""
+        x = rng.standard_normal((128, 3)).astype(np.float32)
+        perm = rng.permutation(128)
+        y = x[perm]
+        a = np.asarray(auction_match(jnp.asarray(x), jnp.asarray(y),
+                                     eps=1e-4, iters=200))
+        d = np.sqrt(((x - y[a]) ** 2).sum(-1)).mean()
+        assert d < 0.05  # near-perfect matching
+        # assignment is (nearly) a permutation
+        assert len(np.unique(a)) > 120
+
+    def test_emd_translation_lower_bound(self, rng):
+        """EMD of a translated cloud >= translation norm (approx equality)."""
+        x = rng.standard_normal((1024, 3)).astype(np.float32)
+        y = x + np.asarray([1.0, 0.0, 0.0], np.float32)
+        d = float(emd_distance(jnp.asarray(x), jnp.asarray(y)))
+        # permutation matchings satisfy EMD >= ||translation|| = 1; the truncated
+        # auction leaves a small duplicate tail, so allow slight underestimate
+        assert 0.8 < d < 1.5
+
+    def test_shape_contract_1024_multiple(self, rng):
+        x = rng.standard_normal((1500, 3)).astype(np.float32)
+        y = rng.standard_normal((1400, 3)).astype(np.float32)
+        d = float(emd_distance(jnp.asarray(x), jnp.asarray(y)))
+        assert np.isfinite(d)  # internally truncates to 1024
+
+
+class TestStatisticalMetrics:
+    def _clouds(self, rng, n=6, shift=0.0):
+        out = []
+        for _ in range(n):
+            p = rng.standard_normal((2000, 3)).astype(np.float32) * 10
+            p[:, 0] += shift
+            out.append(p)
+        return out
+
+    def test_jsd_identical_zero(self, rng):
+        c = self._clouds(rng)
+        assert M.compute_jsd(c, c) == pytest.approx(0.0, abs=1e-6)
+
+    def test_jsd_orders_by_shift(self, rng):
+        ref = self._clouds(rng)
+        near = M.compute_jsd(ref, self._clouds(rng, shift=1.0))
+        far = M.compute_jsd(ref, self._clouds(rng, shift=20.0))
+        assert 0 < near < far <= 1.0
+
+    def test_mmd_identical_near_zero(self, rng):
+        c = self._clouds(rng, n=4)
+        v = M.compute_mmd(c, c)
+        assert v == pytest.approx(0.0, abs=1e-6)
+
+    def test_frechet_distance(self, rng):
+        f1 = rng.standard_normal((500, 16))
+        f2 = rng.standard_normal((500, 16)) + 2.0
+        d_same = M.frechet_distance(f1, f1)
+        d_diff = M.frechet_distance(f1, f2)
+        assert abs(d_same) < 1e-6
+        assert d_diff > 16 * 3.5  # ~ ||mu_diff||^2 = 16*4
+
+    def test_evaluate_dispatch(self, rng):
+        c1, c2 = self._clouds(rng, 3), self._clouds(rng, 3, shift=0.5)
+        out = M.evaluate(c1, c2, ["cd", "jsd"], "64")
+        assert set(out) == {"cd", "jsd"}
+        assert all(np.isfinite(v) for v in out.values())
+
+
+class TestRangeNet:
+    def test_descriptor_shape(self, rng):
+        net = RangeNet(layers=21)
+        x = jnp.asarray(rng.standard_normal((2, 32, 64, 4)), jnp.float32)
+        params = net.init(jax.random.key(0), x)
+        feats = net.apply(params, x, return_final_logits=True, agg_type="depth")
+        assert feats.shape == (2, 16 * 32)
+        assert np.isfinite(np.asarray(feats)).all()
