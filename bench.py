@@ -24,7 +24,7 @@ def main():
     from __graft_entry__ import _flagship
     from lidar_layout_tpu.models.samplers import ddim_sample
 
-    model, _ = _flagship(tiny=False)
+    model, _ = _flagship(tiny=False, dtype=jnp.bfloat16)
     params = model.init(jax.random.key(0),
                         image_shape=(64, 1024, 1))
 
