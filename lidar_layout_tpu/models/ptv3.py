@@ -1,0 +1,248 @@
+"""Point Transformer V3 — serialized attention over space-filling-curve order.
+
+Parity: ``pointcept/models/point_transformer_v3/point_transformer_v3m1_base.py``
+— points sorted along z/z-trans/hilbert/hilbert-trans curves, attention within
+fixed patches (default 1024) with the order rotating across blocks, grid
+pooling between stages, U-Net decoder with skip connections (:51-223 attention,
+:341 pooling, :518 model).
+
+TPU-first re-expression:
+  * Fixed capacity everywhere: (N, C) padded arrays + masks; ragged batches are
+    flattened with per-point batch ids mixed into the serialization code (the
+    reference does the same via offset2batch).
+  * Patch attention = reshape to (num_patches, patch, C) + fused MHA — maps
+    directly onto the MXU; padding handled by attention masks.
+  * Grid pooling = sorted-code head-flag segments + fixed-capacity scatter
+    (replaces torch unique/spconv).
+  * The sparse-conv xCPE becomes a window-3 conv along the serialized sequence:
+    the curve is exactly the locality structure the sparse conv exploits.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.serialization import ORDERS, argsort_with_mask, serialize_code
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class PTv3Config:
+    in_channels: int = 4
+    orders: Tuple[str, ...] = ("z", "z-trans", "hilbert", "hilbert-trans")
+    patch_size: int = 1024
+    enc_depths: Tuple[int, ...] = (2, 2, 2, 6, 2)
+    enc_channels: Tuple[int, ...] = (32, 64, 128, 256, 512)
+    enc_heads: Tuple[int, ...] = (2, 4, 8, 16, 32)
+    dec_depths: Tuple[int, ...] = (2, 2, 2, 2)
+    dec_channels: Tuple[int, ...] = (64, 64, 128, 256)
+    dec_heads: Tuple[int, ...] = (4, 4, 8, 16)
+    mlp_ratio: float = 4.0
+    grid_size: float = 0.05
+    bits: int = 10  # per-axis bits for serialization codes
+    drop_path: float = 0.0
+
+
+def _pad_len(n: int, patch: int) -> int:
+    return (-n) % patch
+
+
+class PatchAttention(nn.Module):
+    """MHA within fixed patches of the serialized sequence."""
+
+    heads: int
+    patch_size: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, mask: Array) -> Array:
+        n, c = x.shape
+        p = self.patch_size
+        pad = _pad_len(n, p)
+        xp = jnp.pad(x, ((0, pad), (0, 0)))
+        mp = jnp.pad(mask, ((0, pad),))
+        npatch = xp.shape[0] // p
+
+        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(xp)
+        qkv = qkv.reshape(npatch, p, 3, self.heads, c // self.heads)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        attn_mask = mp.reshape(npatch, 1, 1, p)
+        out = jax.nn.dot_product_attention(q, k, v, mask=attn_mask)
+        out = out.reshape(npatch * p, c)[:n]
+        return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+
+
+class SerialConvCPE(nn.Module):
+    """Conditional positional encoding as a conv along the serialized order
+    (stands in for the reference's submanifold sparse-conv xCPE)."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, mask: Array) -> Array:
+        c = x.shape[-1]
+        h = (x * mask[:, None])[None, :, :]       # (1, N, C)
+        h = nn.Conv(c, (3,), padding=1, feature_group_count=c,
+                    dtype=self.dtype, name="dwconv")(h)[0]
+        h = nn.Dense(c, dtype=self.dtype, name="proj")(h)
+        return x + h * mask[:, None]
+
+
+class PTv3Block(nn.Module):
+    heads: int
+    patch_size: int
+    mlp_ratio: float = 4.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, order: Array, inverse: Array, mask: Array
+                 ) -> Array:
+        # everything happens in serialized order (incl. the CPE conv, whose
+        # window-3 neighborhood is defined along the curve)
+        xs = x[order]
+        ms = mask[order]
+        xs = SerialConvCPE(dtype=self.dtype, name="cpe")(xs, ms)
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(xs)
+        h = PatchAttention(self.heads, self.patch_size, dtype=self.dtype,
+                           name="attn")(h, ms)
+        xs = xs + h
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(xs)
+        h = nn.Dense(int(xs.shape[-1] * self.mlp_ratio), dtype=self.dtype,
+                     name="mlp_in")(h)
+        h = jax.nn.gelu(h)
+        h = nn.Dense(xs.shape[-1], dtype=self.dtype, name="mlp_out")(h)
+        xs = xs + h
+        return xs[inverse] * mask[:, None]
+
+
+def grid_pool_segments(codes: Array, mask: Array, capacity: int
+                       ) -> Tuple[Array, Array, Array]:
+    """Group points by (coarse) code into <=capacity segments.
+
+    Returns (segment_id per point (N,), segment validity (capacity,),
+             order (N,) that sorts points by code with padding last).
+    Segment ids of padded points point at the dump slot (capacity-1 is safe
+    because its contributions are masked out downstream).
+    """
+    order = argsort_with_mask(codes, mask)
+    sc = codes[order]
+    sm = mask[order]
+    head = jnp.concatenate([jnp.asarray([True]), sc[1:] != sc[:-1]]) & sm
+    seg_sorted = jnp.cumsum(head.astype(jnp.int32)) - 1
+    seg_sorted = jnp.clip(seg_sorted, 0, capacity - 1)
+    # scatter back to original point order
+    seg = jnp.zeros_like(seg_sorted).at[order].set(seg_sorted)
+    n_seg = seg_sorted[-1] + 1  # only valid when sm has any True
+    seg_valid = jnp.arange(capacity) < jnp.where(sm.any(), n_seg, 0)
+    return seg, seg_valid, order
+
+
+def segment_mean(x: Array, seg: Array, mask: Array, capacity: int) -> Array:
+    w = mask.astype(x.dtype)
+    num = jnp.zeros((capacity, x.shape[-1]), x.dtype).at[seg].add(x * w[:, None])
+    den = jnp.zeros((capacity,), x.dtype).at[seg].add(w)
+    return num / jnp.maximum(den, 1.0)[:, None]
+
+
+class PTv3(nn.Module):
+    """Encoder-decoder PT-v3 over one padded cloud (flatten batches upstream).
+
+    __call__(points (N,3), feats (N,Cin), mask (N,)) -> (N, dec_channels[0]).
+    Set ``encoder_only=True`` for the latent pyramid (CubeAE encoder use).
+    """
+
+    cfg: PTv3Config
+    encoder_only: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, points: Array, feats: Array, mask: Array):
+        cfg = self.cfg
+        n = points.shape[0]
+
+        origin = jnp.min(jnp.where(mask[:, None], points, jnp.inf), axis=0)
+        grid0 = jnp.floor((points - origin) / cfg.grid_size).astype(jnp.int32)
+        grid0 = jnp.clip(grid0, 0, (1 << cfg.bits) - 1)
+
+        x = nn.Dense(cfg.enc_channels[0], dtype=self.dtype, name="embed")(feats)
+        x = nn.LayerNorm(dtype=jnp.float32, name="embed_norm")(x)
+        x = x * mask[:, None]
+
+        grids = [grid0]
+        masks = [mask]
+        caps = [n]
+        skips: List[Tuple[Array, Array, Array]] = []  # (x, seg, order) per level
+        seg_infos = []
+
+        # ---------------- encoder ----------------
+        for level, (depth, ch, heads) in enumerate(
+                zip(cfg.enc_depths, cfg.enc_channels, cfg.enc_heads)):
+            g = grids[-1]
+            m = masks[-1]
+            cap = caps[-1]
+            if x.shape[-1] != ch:
+                x = nn.Dense(ch, dtype=self.dtype, name=f"enc{level}_proj")(x)
+
+            # per-order serialization at this level
+            orders_idx = []
+            for o in cfg.orders:
+                code = serialize_code(g, o, cfg.bits)
+                ordr = argsort_with_mask(code, m)
+                inv = jnp.zeros_like(ordr).at[ordr].set(jnp.arange(cap))
+                orders_idx.append((ordr, inv))
+
+            patch = min(cfg.patch_size, cap)
+            for b in range(depth):
+                ordr, inv = orders_idx[b % len(orders_idx)]
+                x = PTv3Block(heads, patch, cfg.mlp_ratio, dtype=self.dtype,
+                              name=f"enc{level}_block{b}")(x, ordr, inv, m)
+
+            if level < len(cfg.enc_depths) - 1:
+                # grid pooling: coarsen by 2 (code >> 3 == parent z-cell)
+                code = serialize_code(g >> 1, "z", cfg.bits)
+                new_cap = max(cap // 2, 1)
+                seg, seg_valid, _ = grid_pool_segments(code, m, new_cap)
+                skips.append((x, seg, m))
+                x = segment_mean(x, seg, m, new_cap)
+                new_grid = segment_mean((g >> 1).astype(x.dtype), seg, m,
+                                        new_cap).astype(jnp.int32)
+                grids.append(new_grid)
+                masks.append(seg_valid)
+                caps.append(new_cap)
+                x = x * seg_valid[:, None]
+
+        if self.encoder_only:
+            return x, masks[-1]
+
+        # ---------------- decoder ----------------
+        for level in reversed(range(len(cfg.dec_depths))):
+            skip_x, seg, fine_mask = skips[level]
+            g = grids[level]
+            cap = caps[level]
+            ch = cfg.dec_channels[level]
+            heads = cfg.dec_heads[level]
+
+            # unpool: broadcast coarse features to fine points + skip
+            x = x[seg]
+            x = nn.Dense(ch, dtype=self.dtype, name=f"dec{level}_up")(x)
+            x = x + nn.Dense(ch, dtype=self.dtype, name=f"dec{level}_skip")(skip_x)
+            x = x * fine_mask[:, None]
+
+            orders_idx = []
+            for o in cfg.orders:
+                code = serialize_code(g, o, cfg.bits)
+                ordr = argsort_with_mask(code, fine_mask)
+                inv = jnp.zeros_like(ordr).at[ordr].set(jnp.arange(cap))
+                orders_idx.append((ordr, inv))
+            patch = min(cfg.patch_size, cap)
+            for b in range(cfg.dec_depths[level]):
+                ordr, inv = orders_idx[b % len(orders_idx)]
+                x = PTv3Block(heads, patch, cfg.mlp_ratio, dtype=self.dtype,
+                              name=f"dec{level}_block{b}")(x, ordr, inv,
+                                                           fine_mask)
+        return x, masks[0]
