@@ -50,10 +50,10 @@ def hilbert_code(grid: Array, bits: int = MAX_BITS) -> Array:
     g = jnp.clip(grid, 0, (1 << bits) - 1)
     X = [g[:, i].astype(jnp.int32) for i in range(n_dims)]
 
-    m = jnp.int32(1 << (bits - 1))
+    m = 1 << (bits - 1)  # python int: bits is static
 
     # Axes -> transposed Hilbert (Skilling: inverse undo, then Gray encode)
-    q = int(m)
+    q = m
     while q > 1:
         p = q - 1
         for i in range(n_dims):
@@ -71,7 +71,7 @@ def hilbert_code(grid: Array, bits: int = MAX_BITS) -> Array:
     for i in range(1, n_dims):
         X[i] = X[i] ^ X[i - 1]
     t = jnp.zeros_like(X[0])
-    q = int(m)
+    q = m
     while q > 1:
         t = jnp.where((X[n_dims - 1] & q) > 0, t ^ (q - 1), t)
         q >>= 1
