@@ -1,0 +1,149 @@
+"""Fixed-capacity sparse voxel structures — the TPU-native fvdb replacement.
+
+Replaces the reference's fvdb hash-tree grids (``autoencoder_cube.py:143-187``
+build_hash_tree: 3-level hierarchy at 0.1 m base) and the sparse convolutions
+of fvnn/spconv/torchsparse with:
+
+  * a *sorted-code table* per level: voxel integer coords + occupancy mask,
+    kept sorted by Morton code so neighbor lookup is a vectorized binary
+    search (``jnp.searchsorted``) instead of a hash probe — deterministic,
+    fixed-shape, O(27 N log N) for a 3^3 stencil;
+  * sparse conv = 27 neighbor gathers stacked into one (N, 27*C) x (27*C, Co)
+    matmul — exactly the MXU-shaped contraction;
+  * pooling/subdivision between levels via parent-code segments (same
+    head-flag technique as PT-v3 grid pooling).
+
+A VoxelGrid is a pytree: coords (cap, 3) int32, mask (cap,), codes (cap,)
+sorted ascending with padding at +inf-equivalent.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .serialization import z_order_code
+
+Array = jax.Array
+
+PAD_CODE = jnp.iinfo(jnp.int32).max
+
+
+class VoxelGrid(NamedTuple):
+    coords: Array   # (cap, 3) int32, valid rows sorted by morton code
+    codes: Array    # (cap,) int32, padding rows = PAD_CODE
+    mask: Array     # (cap,) bool
+
+
+def build_grid(coords: Array, mask: Array, capacity: int,
+               bits: int = 10) -> Tuple[VoxelGrid, Array]:
+    """Deduplicate (N, 3) integer coords into a sorted VoxelGrid.
+
+    Returns (grid, point_to_voxel (N,) index of each input row's voxel).
+    """
+    codes = z_order_code(coords, bits)
+    keyed = jnp.where(mask, codes, PAD_CODE)
+    order = jnp.argsort(keyed)
+    sc = keyed[order]
+    sm = mask[order]
+    head = jnp.concatenate([jnp.asarray([True]), sc[1:] != sc[:-1]]) & sm
+    seg_sorted = jnp.clip(jnp.cumsum(head.astype(jnp.int32)) - 1, 0,
+                          capacity - 1)
+
+    n_seg = jnp.where(sm.any(), seg_sorted[-1] + 1, 0)
+    vmask = jnp.arange(capacity) < n_seg
+
+    vcodes = jnp.full((capacity,), PAD_CODE, jnp.int32).at[seg_sorted].min(
+        jnp.where(sm, sc, PAD_CODE))
+    vcoords = jnp.zeros((capacity, 3), jnp.int32).at[seg_sorted].max(
+        jnp.where(sm[:, None], coords[order], 0))
+
+    # map original points to voxel ids
+    p2v_sorted = seg_sorted
+    p2v = jnp.zeros_like(p2v_sorted).at[order].set(p2v_sorted)
+    return VoxelGrid(vcoords, vcodes, vmask), p2v
+
+
+def lookup(grid: VoxelGrid, query_coords: Array, bits: int = 10
+           ) -> Tuple[Array, Array]:
+    """Find voxel row for each (M, 3) query coord. Returns (idx (M,), hit (M,))."""
+    q = z_order_code(query_coords, bits)
+    idx = jnp.searchsorted(grid.codes, q)
+    idx = jnp.clip(idx, 0, grid.codes.shape[0] - 1)
+    hit = (grid.codes[idx] == q) & grid.mask[idx] & (q != PAD_CODE)
+    return idx, hit
+
+
+OFFSETS_27 = jnp.asarray(
+    [[dx, dy, dz] for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+     for dz in (-1, 0, 1)], dtype=jnp.int32)
+
+
+def gather_neighbors(grid: VoxelGrid, feats: Array, bits: int = 10,
+                     offsets: Array = OFFSETS_27) -> Array:
+    """(cap, C) feats -> (cap, K, C) neighbor features (0 where missing)."""
+    def one_offset(off):
+        idx, hit = lookup(grid, grid.coords + off[None, :], bits)
+        f = feats[idx]
+        return jnp.where(hit[:, None], f, 0.0)
+
+    out = jax.vmap(one_offset)(offsets)       # (K, cap, C)
+    return jnp.transpose(out, (1, 0, 2))
+
+
+def pool_to_parent(grid: VoxelGrid, feats: Array, capacity: int,
+                   bits: int = 10, reduce: str = "mean"
+                   ) -> Tuple[VoxelGrid, Array, Array]:
+    """Coarsen by 2: children -> parent voxels.
+
+    Returns (parent_grid, parent_feats (cap_p, C), child_to_parent (cap_c,)).
+    """
+    parent_coords = grid.coords >> 1
+    pgrid, c2p = build_grid(parent_coords, grid.mask, capacity, bits)
+    w = grid.mask.astype(feats.dtype)
+    num = jnp.zeros((capacity, feats.shape[-1]), feats.dtype).at[c2p].add(
+        feats * w[:, None])
+    if reduce == "mean":
+        den = jnp.zeros((capacity,), feats.dtype).at[c2p].add(w)
+        pfeats = num / jnp.maximum(den, 1.0)[:, None]
+    else:
+        pfeats = num
+    return pgrid, pfeats * pgrid.mask[:, None], c2p
+
+
+def subdivide(grid: VoxelGrid, capacity: int, bits: int = 10
+              ) -> Tuple[Array, Array]:
+    """Each parent voxel -> its 8 child coords. Returns
+    (child_coords (cap_p*8, 3), parent_index (cap_p*8,)). Validity follows the
+    parent mask (repeat 8x); the caller prunes with predicted structure."""
+    cap_p = grid.coords.shape[0]
+    offs = jnp.asarray([[i, j, k] for i in (0, 1) for j in (0, 1)
+                        for k in (0, 1)], jnp.int32)
+    child = (grid.coords[:, None, :] << 1) + offs[None, :, :]
+    parent_idx = jnp.repeat(jnp.arange(cap_p), 8)
+    return child.reshape(-1, 3), parent_idx
+
+
+def occupancy_targets(parent: VoxelGrid, child: VoxelGrid, bits: int = 10
+                      ) -> Array:
+    """(cap_p, 8) binary targets: which children of each parent exist in the
+    child grid (the xcube structure-prediction supervision)."""
+    child_coords, _ = subdivide(parent, child.coords.shape[0], bits)
+    _, hit = lookup(child, child_coords, bits)
+    return hit.reshape(-1, 8).astype(jnp.float32) \
+        * parent.mask[:, None]
+
+
+def voxelize_points(points: Array, mask: Array, voxel_size: float,
+                    capacity: int, origin: Optional[Array] = None,
+                    bits: int = 10) -> Tuple[VoxelGrid, Array, Array]:
+    """Points -> finest-level grid. Returns (grid, point_to_voxel, grid_coords)."""
+    if origin is None:
+        origin = jnp.min(jnp.where(mask[:, None], points, jnp.inf), axis=0)
+    g = jnp.floor((points - origin) / voxel_size).astype(jnp.int32)
+    g = jnp.clip(g, 0, (1 << bits) - 1)
+    grid, p2v = build_grid(g, mask, capacity, bits)
+    return grid, p2v, g
