@@ -40,8 +40,11 @@ class Normalize(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         orig = x.dtype
-        out = nn.GroupNorm(num_groups=min(self.num_groups, x.shape[-1]),
-                           epsilon=1e-6, dtype=jnp.float32,
+        c = x.shape[-1]
+        g = min(self.num_groups, c)
+        while c % g:  # largest divisor of C not exceeding num_groups
+            g -= 1
+        out = nn.GroupNorm(num_groups=g, epsilon=1e-6, dtype=jnp.float32,
                            param_dtype=jnp.float32)(x.astype(jnp.float32))
         return out.astype(orig)
 
