@@ -1,0 +1,88 @@
+"""Eval model registry + feature_fn factory.
+
+Parity: ``lidm/eval/__init__.py:39-62`` build_model — constructs the frozen
+perceptual nets (rangenet / minkowskinet / spvcnn) per dataset and loads
+pretrained weights from ``<weights_root>/<dataset>/<model>/`` when present
+(FRID/FSVD/FPVD numbers are only comparable with those weights; without them
+the metrics still run on the same architectures with random features, which is
+useful for smoke/regression but not for the published tables — loudly logged).
+"""
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.lidar import KITTI_GEOMETRY, NUSCENES_GEOMETRY
+from .rangenet import RangeNet, preprocess_range_batch
+from .voxel_nets import SparseVoxelNet, VoxelNetConfig, depth_sector_descriptor
+
+MODALITY2MODEL = {"range": "rangenet", "voxel": "minkowskinet",
+                  "point_voxel": "spvcnn"}
+
+
+def build_feature_fn(data_type: str = "64", modality: str = "range",
+                     weights_root: str = "./pretrained_weights",
+                     max_points: int = 30000) -> Callable:
+    """Returns feature_fn(pcds) -> (B, D) descriptors for evaluate()."""
+    geom = KITTI_GEOMETRY if data_type == "64" else NUSCENES_GEOMETRY
+    model_name = MODALITY2MODEL[modality]
+    dataset = "kitti" if data_type == "64" else "nuscenes"
+    wdir = os.path.join(weights_root, dataset, model_name)
+    have_weights = os.path.isdir(wdir)
+    if not have_weights:
+        print(f"[eval] no pretrained weights at {wdir} — {model_name} features "
+              f"are randomly initialized (relative comparisons only)")
+
+    if modality == "range":
+        net = RangeNet(layers=21)
+        x0 = jnp.zeros((1, *geom.size, 4))
+        params = net.init(jax.random.key(0), x0)
+        if have_weights:
+            from .rangenet import load_torch_weights
+            params = load_torch_weights(params,
+                                        os.path.join(wdir, "backbone"),
+                                        os.path.join(wdir, "segmentation_decoder"))
+
+        @jax.jit
+        def feats(imgs):
+            return net.apply(params, imgs, return_final_logits=True,
+                             agg_type="depth")
+
+        def feature_fn(pcds: Sequence[np.ndarray]) -> np.ndarray:
+            imgs = preprocess_range_batch(pcds, geom)
+            return np.asarray(feats(jnp.asarray(imgs)))
+
+        return feature_fn
+
+    cfg = VoxelNetConfig(point_branch=(modality == "point_voxel"))
+    net = SparseVoxelNet(cfg)
+    p0 = jnp.zeros((max_points, 3))
+    f0 = jnp.zeros((max_points, cfg.in_channels))
+    m0 = jnp.zeros((max_points,), bool)
+    params = net.init(jax.random.key(0), p0, f0, m0)
+
+    @jax.jit
+    def logits_fn(pts, fts, msk):
+        out, _ = net.apply(params, pts, fts, msk)
+        return depth_sector_descriptor(pts, out, msk,
+                                       depth_range=geom.depth_range)
+
+    def feature_fn(pcds: Sequence[np.ndarray]) -> np.ndarray:
+        descs = []
+        for pcd in pcds:
+            n = min(len(pcd), max_points)
+            pts = np.zeros((max_points, 3), np.float32)
+            pts[:n] = pcd[:n]
+            fts = np.concatenate([pts, np.zeros((max_points, 1), np.float32)], -1)
+            msk = np.zeros((max_points,), bool)
+            msk[:n] = True
+            descs.append(np.asarray(logits_fn(jnp.asarray(pts),
+                                              jnp.asarray(fts),
+                                              jnp.asarray(msk))))
+        return np.stack(descs)
+
+    return feature_fn
