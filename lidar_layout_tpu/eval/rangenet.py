@@ -91,13 +91,14 @@ class RangeNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, return_final_logits: bool = False,
-                 agg_type: str = "depth"):
+                 agg_type: str = "depth", return_features: bool = False):
         blocks = MODEL_BLOCKS[self.layers]
         h = nn.Conv(32, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
                     name="conv1")(x)
         h = BN(name="bn1")(h)
         h = nn.leaky_relu(h, 0.1)
 
+        features: Dict[str, Array] = {}
         skips: Dict[int, Array] = {}
         os = 1
         planes = [(32, 64), (64, 128), (128, 256), (256, 512), (512, 1024)]
@@ -106,6 +107,7 @@ class RangeNet(nn.Module):
             skips[os] = h
             os *= 2
             h = y
+            features[f"enc_{i}"] = h
 
         # decoder with additive skips
         dec_planes = [(1024, 512), (512, 256), (256, 128), (128, 64), (64, 32)]
@@ -113,6 +115,10 @@ class RangeNet(nn.Module):
             h = DecStage(p, 2, name=f"dec{5 - i}")(h)
             os //= 2
             h = h + skips[os]
+            features[f"dec_{4 - i}"] = h
+
+        if return_features:
+            return features
 
         logits = h  # (B, H, W, 32) pre-dropout features
         if not return_final_logits:

@@ -42,8 +42,11 @@ def _nn_kernel(x_ref, y_ref, out_ref):
 
     x2 = jnp.sum(x * x, axis=1, keepdims=True)          # (TX, 1)
     y2 = jnp.sum(y * y, axis=1)[None, :]                # (1, TY)
+    # precision=HIGHEST is required: the default in-kernel MXU precision on
+    # this toolchain is bf16-class, which corrupts the small |d| differences
     xy = jax.lax.dot_general(x, y, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
     d = x2 + y2 - 2.0 * xy                              # (TX, TY)
     tile_min = jnp.min(d, axis=1, keepdims=True)        # (TX, 1)
 
