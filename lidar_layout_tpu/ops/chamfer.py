@@ -21,10 +21,15 @@ BIG = 1e10
 
 
 def _sq_dists(x: Array, y: Array) -> Array:
-    """(N, D), (M, D) -> (N, M) squared distances via the matmul identity."""
+    """(N, D), (M, D) -> (N, M) squared distances via the matmul identity.
+
+    precision=HIGHEST: TPU default matmul precision is bf16-class, which is
+    visible error on small squared distances (the metric regime).
+    """
     x2 = jnp.sum(x * x, axis=-1)[:, None]
     y2 = jnp.sum(y * y, axis=-1)[None, :]
-    xy = jnp.dot(x, y.T, preferred_element_type=jnp.float32)
+    xy = jnp.dot(x, y.T, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
     return jnp.maximum(x2 + y2 - 2.0 * xy, 0.0)
 
 

@@ -22,8 +22,10 @@ BIG = 1e10
 def _sq_dists(x: Array, y: Array) -> Array:
     x2 = jnp.sum(x * x, axis=-1)[:, None]
     y2 = jnp.sum(y * y, axis=-1)[None, :]
-    return jnp.maximum(x2 + y2 - 2.0 * jnp.dot(x, y.T,
-                                               preferred_element_type=jnp.float32), 0.0)
+    # HIGHEST: TPU default matmul precision is bf16-class — visible on small d^2
+    xy = jnp.dot(x, y.T, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
+    return jnp.maximum(x2 + y2 - 2.0 * xy, 0.0)
 
 
 @partial(jax.jit, static_argnames=("n_samples",))
