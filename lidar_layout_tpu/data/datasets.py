@@ -96,10 +96,20 @@ class RangeImageDataset:
         return {"image": np.asarray(model)[..., None],
                 "mask": np.asarray(mask)[..., None]}
 
-    def batches(self, shuffle: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+    def batches(self, shuffle: bool = True, use_native: bool = True
+                ) -> Iterator[Dict[str, np.ndarray]]:
         if self.synthetic:
             while True:
                 yield synthetic_range_batch(self.rng, self.batch_size, self.geom)
+
+        loader = None
+        if use_native:
+            try:
+                from .native_loader import NativeScanLoader
+                loader = NativeScanLoader(self.files, self.max_points)
+            except Exception as e:
+                print(f"[data] native loader unavailable ({e}); python reader")
+
         order = np.arange(len(self.files))
         while True:
             if shuffle:
@@ -107,9 +117,18 @@ class RangeImageDataset:
             for i in range(0, len(order) - self.batch_size + 1, self.batch_size):
                 clouds = np.zeros((self.batch_size, self.max_points, 3), np.float32)
                 masks = np.zeros((self.batch_size, self.max_points), bool)
-                for j, k in enumerate(order[i:i + self.batch_size]):
-                    pts = read_velodyne_bin(self.files[k])[:, :3]
-                    n = min(len(pts), self.max_points)
-                    clouds[j, :n] = pts[:n]
-                    masks[j, :n] = True
+                idxs = order[i:i + self.batch_size]
+                if loader is not None:
+                    for k in idxs:
+                        loader.enqueue(int(k))
+                    for j in range(self.batch_size):
+                        _, xyz, _, nv = loader.next()
+                        clouds[j] = xyz
+                        masks[j, :nv] = True
+                else:
+                    for j, k in enumerate(idxs):
+                        pts = read_velodyne_bin(self.files[k])[:, :3]
+                        n = min(len(pts), self.max_points)
+                        clouds[j, :n] = pts[:n]
+                        masks[j, :n] = True
                 yield self._project(clouds, masks)
