@@ -47,6 +47,7 @@ class AEConfig:
     attn_type: str = "vanilla"
     tanh_out: bool = False
     give_pre_end: bool = False
+    circular: bool = True  # False = the model_ldm plain-conv variant (lib_name: ldm)
 
 
 class Encoder(nn.Module):
@@ -60,12 +61,13 @@ class Encoder(nn.Module):
         cfg = self.cfg
         num_levels = len(cfg.ch_mult)
 
-        h = CircularConv(cfg.ch, (3, 3), (1, 1), 1, dtype=self.dtype, name="conv_in")(x)
+        h = CircularConv(cfg.ch, (3, 3), (1, 1), 1, wrap=cfg.circular,
+                         dtype=self.dtype, name="conv_in")(x)
         for i_level in range(num_levels):
             block_out = cfg.ch * cfg.ch_mult[i_level]
             for i_block in range(cfg.num_res_blocks):
                 h = ResnetBlock(out_channels=block_out, dropout=cfg.dropout,
-                                dtype=self.dtype,
+                                wrap=cfg.circular, dtype=self.dtype,
                                 name=f"down_{i_level}_block_{i_block}")(
                     h, deterministic=deterministic)
                 if i_level in cfg.attn_levels:
@@ -73,18 +75,22 @@ class Encoder(nn.Module):
                                   name=f"down_{i_level}_attn_{i_block}")(h)
             if i_level != num_levels - 1:
                 h = Downsample(tuple(cfg.strides[i_level]), cfg.resamp_with_conv,
-                               dtype=self.dtype, name=f"down_{i_level}_downsample")(h)
+                               wrap=cfg.circular, dtype=self.dtype,
+                               name=f"down_{i_level}_downsample")(h)
 
-        h = ResnetBlock(dropout=cfg.dropout, dtype=self.dtype, name="mid_block_1")(
+        h = ResnetBlock(dropout=cfg.dropout, wrap=cfg.circular,
+                        dtype=self.dtype, name="mid_block_1")(
             h, deterministic=deterministic)
         h = make_attn(cfg.attn_type, dtype=self.dtype, name="mid_attn_1")(h)
-        h = ResnetBlock(dropout=cfg.dropout, dtype=self.dtype, name="mid_block_2")(
+        h = ResnetBlock(dropout=cfg.dropout, wrap=cfg.circular,
+                        dtype=self.dtype, name="mid_block_2")(
             h, deterministic=deterministic)
 
         h = Normalize(name="norm_out")(h)
         h = nonlinearity(h)
         z_ch = 2 * cfg.z_channels if cfg.double_z else cfg.z_channels
-        return CircularConv(z_ch, (3, 3), (1, 1), 1, dtype=self.dtype, name="conv_out")(h)
+        return CircularConv(z_ch, (3, 3), (1, 1), 1, wrap=cfg.circular,
+                            dtype=self.dtype, name="conv_out")(h)
 
 
 class Decoder(nn.Module):
@@ -102,12 +108,15 @@ class Decoder(nn.Module):
         stride2kernel = {(2, 2): (3, 3), (1, 2): (1, 4)}
 
         block_in = cfg.ch * cfg.ch_mult[num_levels - 1]
-        h = CircularConv(block_in, (3, 3), (1, 1), 1, dtype=self.dtype, name="conv_in")(z)
+        h = CircularConv(block_in, (3, 3), (1, 1), 1, wrap=cfg.circular,
+                         dtype=self.dtype, name="conv_in")(z)
 
-        h = ResnetBlock(dropout=cfg.dropout, dtype=self.dtype, name="mid_block_1")(
+        h = ResnetBlock(dropout=cfg.dropout, wrap=cfg.circular,
+                        dtype=self.dtype, name="mid_block_1")(
             h, deterministic=deterministic)
         h = make_attn(cfg.attn_type, dtype=self.dtype, name="mid_attn_1")(h)
-        h = ResnetBlock(dropout=cfg.dropout, dtype=self.dtype, name="mid_block_2")(
+        h = ResnetBlock(dropout=cfg.dropout, wrap=cfg.circular,
+                        dtype=self.dtype, name="mid_block_2")(
             h, deterministic=deterministic)
 
         for i_level in reversed(range(num_levels)):
@@ -116,14 +125,16 @@ class Decoder(nn.Module):
             block_out = cfg.ch * cfg.ch_mult[i_level]
             for i_block in range(cfg.num_res_blocks + 1):
                 h = ResnetBlock(out_channels=block_out, kernel_size=kernel,
-                                dropout=cfg.dropout, dtype=self.dtype,
+                                dropout=cfg.dropout, wrap=cfg.circular,
+                                dtype=self.dtype,
                                 name=f"up_{i_level}_block_{i_block}")(
                     h, deterministic=deterministic)
                 if i_level in cfg.attn_levels:
                     h = make_attn(cfg.attn_type, dtype=self.dtype,
                                   name=f"up_{i_level}_attn_{i_block}")(h)
             if stride is not None:
-                h = Upsample(stride, cfg.resamp_with_conv, dtype=self.dtype,
+                h = Upsample(stride, cfg.resamp_with_conv, wrap=cfg.circular,
+                             dtype=self.dtype,
                              name=f"up_{i_level}_upsample")(h)
 
         if cfg.give_pre_end:
@@ -134,7 +145,8 @@ class Decoder(nn.Module):
         prefinal = h  # input to the last layer; the adaptive GAN weight
         # (vqperceptual.py:74-85) differentiates the losses w.r.t. conv_out only
         h = CircularConv(cfg.out_ch, (1, 4), (1, 1), (1, 2, 0, 0),
-                         dtype=self.dtype, name="conv_out")(h)
+                         wrap=cfg.circular, dtype=self.dtype,
+                         name="conv_out")(h)
         if cfg.tanh_out:
             h = jnp.tanh(h)
         if return_prefinal:

@@ -85,6 +85,7 @@ class Upsample(nn.Module):
 
     stride: Tuple[int, int]
     with_conv: bool = True
+    wrap: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -93,7 +94,8 @@ class Upsample(nn.Module):
         if self.with_conv:
             k = UPSAMPLE_KERNEL[self.stride]
             p = UPSAMPLE_PAD[self.stride]
-            x = CircularConv(x.shape[-1], k, (1, 1), p, dtype=self.dtype, name="conv")(x)
+            x = CircularConv(x.shape[-1], k, (1, 1), p, wrap=self.wrap,
+                             dtype=self.dtype, name="conv")(x)
         return x
 
 
@@ -102,6 +104,7 @@ class Downsample(nn.Module):
 
     stride: Tuple[int, int]
     with_conv: bool = True
+    wrap: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -109,7 +112,8 @@ class Downsample(nn.Module):
         if self.with_conv:
             k = DOWNSAMPLE_KERNEL[self.stride]
             p = DOWNSAMPLE_PAD[self.stride]
-            return CircularConv(x.shape[-1], k, self.stride, p, dtype=self.dtype, name="conv")(x)
+            return CircularConv(x.shape[-1], k, self.stride, p, wrap=self.wrap,
+                                dtype=self.dtype, name="conv")(x)
         return nn.avg_pool(x, self.stride, strides=self.stride)
 
 
@@ -120,6 +124,7 @@ class ResnetBlock(nn.Module):
     kernel_size: Tuple[int, int] = (3, 3)
     conv_shortcut: bool = False
     dropout: float = 0.0
+    wrap: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -130,7 +135,8 @@ class ResnetBlock(nn.Module):
 
         h = Normalize(name="norm1")(x)
         h = nonlinearity(h)
-        h = CircularConv(out_ch, self.kernel_size, (1, 1), pad, dtype=self.dtype, name="conv1")(h)
+        h = CircularConv(out_ch, self.kernel_size, (1, 1), pad, wrap=self.wrap,
+                         dtype=self.dtype, name="conv1")(h)
 
         if temb is not None:
             h = h + nn.Dense(out_ch, dtype=self.dtype, name="temb_proj")(
@@ -139,11 +145,13 @@ class ResnetBlock(nn.Module):
         h = Normalize(name="norm2")(h)
         h = nonlinearity(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = CircularConv(out_ch, self.kernel_size, (1, 1), pad, dtype=self.dtype, name="conv2")(h)
+        h = CircularConv(out_ch, self.kernel_size, (1, 1), pad, wrap=self.wrap,
+                         dtype=self.dtype, name="conv2")(h)
 
         if x.shape[-1] != out_ch:
             if self.conv_shortcut:
                 x = CircularConv(out_ch, self.kernel_size, (1, 1), pad,
+                                 wrap=self.wrap,
                                  dtype=self.dtype, name="conv_shortcut")(x)
             else:
                 x = Conv1x1(out_ch, dtype=self.dtype, name="nin_shortcut")(x)

@@ -20,11 +20,14 @@ Array = jax.Array
 PadSpec = Union[int, Tuple[int, int, int, int]]
 
 
-def circular_pad(x: Array, pad: Tuple[int, int, int, int]) -> Array:
-    """Pad NHWC: wrap on W (azimuth), zeros on H (elevation)."""
+def circular_pad(x: Array, pad: Tuple[int, int, int, int],
+                 wrap: bool = True) -> Array:
+    """Pad NHWC: wrap on W (azimuth) — or zeros when ``wrap=False`` (the
+    model_ldm plain-conv variant) — and zeros on H (elevation)."""
     left, right, top, bottom = pad
     if left or right:
-        x = jnp.pad(x, ((0, 0), (0, 0), (left, right), (0, 0)), mode="wrap")
+        x = jnp.pad(x, ((0, 0), (0, 0), (left, right), (0, 0)),
+                    mode="wrap" if wrap else "constant")
     if top or bottom:
         x = jnp.pad(x, ((0, 0), (top, bottom), (0, 0), (0, 0)), mode="constant")
     return x
@@ -48,12 +51,13 @@ class CircularConv(nn.Module):
     strides: Tuple[int, int] = (1, 1)
     padding: PadSpec = 0
     use_bias: bool = True
+    wrap: bool = True   # False => plain zero padding (lib_name: ldm variant)
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        x = circular_pad(x, _norm_pad(self.padding))
+        x = circular_pad(x, _norm_pad(self.padding), wrap=self.wrap)
         return nn.Conv(
             features=self.features,
             kernel_size=self.kernel_size,
