@@ -160,3 +160,131 @@ def merge_into(init_params: Dict, converted: Dict) -> Dict:
     if missing[:5]:
         print("  e.g. missing:", missing[:5])
     return flax.traverse_util.unflatten_dict(out)
+
+
+def convert_unet(sd: Dict[str, np.ndarray], num_res_blocks: int,
+                 channel_mult, num_head_channels: int = 32,
+                 prefix: str = "model.diffusion_model.") -> Dict[str, Any]:
+    """Reference guided-diffusion UNetModel state_dict -> flax params for
+    models.unet.UNetModel (openaimodel.py layout, legacy QKV attention).
+
+    ``prefix`` matches LatentDiffusion checkpoints ('model.diffusion_model.');
+    pass '' for a bare UNet state_dict.
+    """
+    params: Dict[str, Any] = {}
+    levels = len(channel_mult)
+
+    def g(name):
+        return sd.get(prefix + name)
+
+    def conv(dst, src, nested=True, zero_scope=False):
+        w = g(f"{src}.weight")
+        if w is None:
+            return False
+        base = f"{dst}/conv" if nested else dst
+        _set(params, f"{base}/kernel", _cv(w))
+        b = g(f"{src}.bias")
+        if b is not None:
+            _set(params, f"{base}/bias", b)
+        return True
+
+    def dense(dst, src):
+        w = g(f"{src}.weight")
+        if w is None:
+            return False
+        _set(params, f"{dst}/kernel", w.T)
+        b = g(f"{src}.bias")
+        if b is not None:
+            _set(params, f"{dst}/bias", b)
+        return True
+
+    def norm(dst, src):
+        w = g(f"{src}.weight")
+        if w is None:
+            return False
+        _set(params, f"{dst}/scale", w)
+        _set(params, f"{dst}/bias", g(f"{src}.bias"))
+        return True
+
+    def qkv_dense(dst, src, heads):
+        """torch conv1d qkv (3C, C, 1) heads-major [h0:(q,k,v), h1:...] ->
+        flax Dense 3C with layout [q(all heads), k, v]."""
+        w = g(f"{src}.weight")
+        if w is None:
+            return False
+        b = g(f"{src}.bias")
+        c = w.shape[1]
+        dh = c // heads
+        w = w[:, :, 0].reshape(heads, 3, dh, c)       # (H, 3, dh, C)
+        w = np.transpose(w, (1, 0, 2, 3)).reshape(3 * c, c)  # (3*C, C) q-major
+        _set(params, f"{dst}/kernel", w.T)
+        if b is not None:
+            b = b.reshape(heads, 3, dh)
+            b = np.transpose(b, (1, 0, 2)).reshape(3 * c)
+            _set(params, f"{dst}/bias", b)
+        return True
+
+    def proj_dense(dst, src):
+        """torch conv1d (C, C, 1) -> flax Dense."""
+        w = g(f"{src}.weight")
+        if w is None:
+            return False
+        _set(params, f"{dst}/kernel", w[:, :, 0].T)
+        b = g(f"{src}.bias")
+        if b is not None:
+            _set(params, f"{dst}/bias", b)
+        return True
+
+    def resblock(dst, src):
+        norm(f"{dst}/in_norm/GroupNorm_0", f"{src}.in_layers.0")
+        conv(f"{dst}/in_conv", f"{src}.in_layers.2")
+        dense(f"{dst}/emb_proj", f"{src}.emb_layers.1")
+        norm(f"{dst}/out_norm/GroupNorm_0", f"{src}.out_layers.0")
+        conv(f"{dst}/out_conv", f"{src}.out_layers.3")
+        conv(f"{dst}/skip", f"{src}.skip_connection")
+
+    def attn(dst, src, ch, num_head_channels):
+        heads = ch // num_head_channels
+        norm(f"{dst}/norm/GroupNorm_0", f"{src}.norm")
+        qkv_dense(f"{dst}/qkv", f"{src}.qkv", heads)
+        proj_dense(f"{dst}/proj_out", f"{src}.proj_out")
+        return heads
+
+    dense("time_embed_0", "time_embed.0")
+    dense("time_embed_2", "time_embed.2")
+    conv("conv_in", "input_blocks.0.0")
+
+    # walk the construction order to map sequential indices to (level, i)
+    k = 1
+    for level in range(levels):
+        for i in range(num_res_blocks):
+            resblock(f"in_{level}_{i}_res", f"input_blocks.{k}.0")
+            if g(f"input_blocks.{k}.1.qkv.weight") is not None:
+                ch = sd[prefix + f"input_blocks.{k}.1.norm.weight"].shape[0]
+                attn(f"in_{level}_{i}_attn", f"input_blocks.{k}.1", ch, num_head_channels)
+            k += 1
+        if level != levels - 1:
+            conv(f"down_{level}/op", f"input_blocks.{k}.0.op")
+            k += 1
+
+    resblock("mid_res1", "middle_block.0")
+    ch = sd[prefix + "middle_block.1.norm.weight"].shape[0]
+    attn("mid_attn", "middle_block.1", ch, num_head_channels)
+    resblock("mid_res2", "middle_block.2")
+
+    k = 0
+    for level in reversed(range(levels)):
+        for i in range(num_res_blocks + 1):
+            resblock(f"out_{level}_{i}_res", f"output_blocks.{k}.0")
+            if g(f"output_blocks.{k}.1.qkv.weight") is not None:
+                ch = sd[prefix + f"output_blocks.{k}.1.norm.weight"].shape[0]
+                attn(f"out_{level}_{i}_attn", f"output_blocks.{k}.1", ch, num_head_channels)
+            # upsample lives at the tail of the last block of the level
+            for slot in (1, 2):
+                if g(f"output_blocks.{k}.{slot}.conv.weight") is not None:
+                    conv(f"up_{level}/conv", f"output_blocks.{k}.{slot}.conv")
+            k += 1
+
+    norm("norm_out/GroupNorm_0", "out.0")
+    conv("conv_out", "out.2")
+    return {"params": params}

@@ -103,3 +103,42 @@ class TestEncoderParity:
 
         out_nchw = np.transpose(np.asarray(out), (0, 3, 1, 2))
         np.testing.assert_allclose(out_nchw, ref, rtol=5e-4, atol=5e-4)
+
+
+class TestUNetParity:
+    def test_unet_outputs_match(self, torch_modules, rng):
+        """Reference guided-diffusion UNetModel vs our flax UNet with
+        converted weights (incl. legacy heads-major qkv permutation)."""
+        torch, _ = torch_modules
+        import jax
+        import jax.numpy as jnp
+
+        from lidm.modules.diffusion.openaimodel import UNetModel as TorchUNet
+        from lidar_layout_tpu.models.unet import UNetConfig, UNetModel
+        from lidar_layout_tpu.utils.torch_convert import (convert_unet,
+                                                          merge_into)
+
+        tnet = TorchUNet(image_size=[8, 16], in_channels=4, out_channels=4,
+                         model_channels=32, num_res_blocks=1,
+                         attention_resolutions=[2, 1], channel_mult=[1, 2],
+                         num_head_channels=8, lib_name="lidm")
+        tnet.eval()
+        sd = {k: v.detach().numpy() for k, v in tnet.state_dict().items()}
+
+        x = rng.standard_normal((2, 4, 8, 16)).astype(np.float32)
+        t = np.asarray([3, 40], np.int64)
+        with torch.no_grad():
+            ref = tnet(torch.from_numpy(x), torch.from_numpy(t)).numpy()
+
+        cfg = UNetConfig(in_channels=4, model_channels=32, out_channels=4,
+                         num_res_blocks=1, attention_resolutions=(2, 1),
+                         channel_mult=(1, 2), num_head_channels=8)
+        fnet = UNetModel(cfg)
+        xj = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+        params = fnet.init(jax.random.key(0), xj, jnp.asarray(t))
+        conv = convert_unet(sd, num_res_blocks=1, channel_mult=(1, 2),
+                            num_head_channels=8, prefix="")
+        merged = merge_into(params["params"], conv["params"])
+        out = fnet.apply({"params": merged}, xj, jnp.asarray(t))
+        out_nchw = np.transpose(np.asarray(out), (0, 3, 1, 2))
+        np.testing.assert_allclose(out_nchw, ref, rtol=5e-4, atol=5e-4)
