@@ -114,28 +114,35 @@ def _pad_to(p: np.ndarray, n: int, ndim: int) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def compute_mmd(reference: Sequence[np.ndarray], samples: Sequence[np.ndarray],
-                data_type: str = "64", batch: int = 64) -> float:
+                data_type: str = "64", ref_chunk: int = 8) -> float:
     """Minimum matching distance over binned BEV 2D clouds (eval_utils.py:70-84):
-    for each reference cloud, min chamfer distance over all samples."""
+    for each reference cloud, min chamfer distance over all samples.
+
+    One jitted call per ref_chunk references (vmapped over both axes) — a
+    handful of device round-trips total instead of one per reference."""
     ref_b = bev_bin_clouds(reference, data_type)
     smp_b = bev_bin_clouds(samples, data_type)
     cap = max(max((len(p) for p in ref_b + smp_b), default=1), 1)
 
-    smp_arr = np.stack([_pad_to(p, cap, 2)[0] for p in smp_b])
-    smp_mask = np.stack([_pad_to(p, cap, 2)[1] for p in smp_b])
-    smp_arr_j = jnp.asarray(smp_arr)
-    smp_mask_j = jnp.asarray(smp_mask)
+    smp_arr = jnp.asarray(np.stack([_pad_to(p, cap, 2)[0] for p in smp_b]))
+    smp_mask = jnp.asarray(np.stack([_pad_to(p, cap, 2)[1] for p in smp_b]))
 
     @jax.jit
-    def min_cd(r, rm):
-        def one(s, sm):
-            return pairwise_cd(r, s, rm, sm)
-        return jnp.min(jax.vmap(one)(smp_arr_j, smp_mask_j))
+    def min_cd_chunk(rs, rms):
+        def one_ref(r, rm):
+            return jnp.min(jax.vmap(
+                lambda s, sm: pairwise_cd(r, s, rm, sm))(smp_arr, smp_mask))
+        return jax.vmap(one_ref)(rs, rms)
 
     results = []
-    for p in ref_b:
-        r, rm = _pad_to(p, cap, 2)
-        results.append(float(min_cd(jnp.asarray(r), jnp.asarray(rm))))
+    for i in range(0, len(ref_b), ref_chunk):
+        chunk = ref_b[i: i + ref_chunk]
+        while len(chunk) < ref_chunk:  # pad the last chunk (results sliced)
+            chunk = chunk + [chunk[-1]]
+        rs = jnp.asarray(np.stack([_pad_to(p, cap, 2)[0] for p in chunk]))
+        rms = jnp.asarray(np.stack([_pad_to(p, cap, 2)[1] for p in chunk]))
+        vals = np.asarray(min_cd_chunk(rs, rms))
+        results.extend(vals[: min(ref_chunk, len(ref_b) - i)].tolist())
     return float(np.mean(results))
 
 

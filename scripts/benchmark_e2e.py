@@ -42,22 +42,24 @@ def main():
     def sample_batch(params, rng):
         z = ddim_sample(model, params, rng, (args.batch, h, w, c),
                         steps=args.steps)
-        return model.decode_first_stage(params, z)
+        imgs = model.decode_first_stage(params, z)
+        # reproject on-device too: ONE readback per batch, no per-sample trips
+        xyz, valid = jax.vmap(lambda im: range2pcd(im, geom))(imgs[..., 0])
+        return xyz, valid
 
     # warmup/compile outside the timed region (the reference also excludes
     # model build; sampling throughput is the metric)
-    _ = np.asarray(sample_batch(params, jax.random.key(0)))
+    jax.tree.map(np.asarray, sample_batch(params, jax.random.key(0)))
 
     t0 = time.perf_counter()
     clouds = []
     n_batches = (args.n_samples + args.batch - 1) // args.batch
     rng = jax.random.key(42)
     for i in range(n_batches):
-        imgs = sample_batch(params, jax.random.fold_in(rng, i))
-        arr = np.asarray(imgs)[..., 0]
-        for img in arr:
-            xyz, valid = range2pcd(jnp.asarray(img), geom)
-            clouds.append(np.asarray(xyz)[np.asarray(valid)])
+        xyz, valid = jax.tree.map(np.asarray,
+                                  sample_batch(params, jax.random.fold_in(rng, i)))
+        for p, v in zip(xyz, valid):
+            clouds.append(p[v])
     t_gen = time.perf_counter() - t0
 
     result = {"n_samples": len(clouds[: args.n_samples]),
