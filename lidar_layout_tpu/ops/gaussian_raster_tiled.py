@@ -1,0 +1,183 @@
+"""Azimuth-banded Gaussian rasterization — the tiled fast path.
+
+The dense path (ops/gaussian_raster.py) composites every gaussian against
+every pixel: O(H·W·G). This version reproduces the CUDA rasterizers' tile
+binning (SURVEY.md §2.8 N1: "tile binning, depth sorting, alpha compositing")
+with fixed shapes:
+
+  1. split the panorama into B azimuth bands of ``band_w`` columns;
+  2. each gaussian is expanded into the bands its 3-sigma azimuth support
+     touches (fixed ``max_span`` replicas, wrap-aware);
+  3. one global sort by (band, depth) builds per-band, depth-ordered gaussian
+     lists of fixed capacity K (overflow drops the *farthest* entries — the
+     same behavior class as CUDA binning running out of tile budget);
+  4. every band composites only its K gaussians over its (H, band_w) pixels —
+     O(H·W·K) with K << G, vmapped over bands.
+
+Fully differentiable (gather/where only), same output contract as
+``gaussian_raster.rasterize``.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .gaussian_raster import (RasterConfig, build_covariance,
+                              project_covariance, spherical_project)
+from .lidar import LidarGeometry
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class BandedConfig:
+    band_w: int = 32          # columns per azimuth band
+    capacity: int = 512       # gaussians per band
+    max_span: int = 5         # max bands one gaussian may touch (odd)
+    chunk: int = 128          # compositing chunk within a band
+    alpha_thresh: float = 1.0 / 255.0
+    max_alpha: float = 0.99
+    cutoff_sigma2: float = 9.0
+    blur: float = 0.3
+
+
+def rasterize_banded(means: Array, quats: Array, scales: Array,
+                     opacities: Array, features: Array, geom: LidarGeometry,
+                     mask: Optional[Array] = None,
+                     cfg: BandedConfig = BandedConfig()) -> Dict[str, Array]:
+    """Same contract as gaussian_raster.rasterize, banded for speed."""
+    h, w = geom.size
+    n, f_dim = features.shape
+    assert w % cfg.band_w == 0
+    n_bands = w // cfg.band_w
+    span = cfg.max_span
+    cap = cfg.capacity
+
+    u, v, depth = spherical_project(means, geom)
+    valid = depth > 1e-3
+    if mask is not None:
+        valid = valid & mask
+
+    cov3d = build_covariance(quats, scales)
+    cov2d = project_covariance(cov3d, means, geom, cfg.blur)
+    det = jnp.maximum(cov2d[:, 0, 0] * cov2d[:, 1, 1] - cov2d[:, 0, 1] ** 2,
+                      1e-8)
+    inv = jnp.stack([
+        jnp.stack([cov2d[:, 1, 1], -cov2d[:, 0, 1]], -1),
+        jnp.stack([-cov2d[:, 0, 1], cov2d[:, 0, 0]], -1),
+    ], -2) / det[:, None, None]
+    inv_flat = inv.reshape(n, 4)
+
+    # --- band expansion: replicate each gaussian into the bands it touches ---
+    r_u = 3.0 * jnp.sqrt(jnp.maximum(cov2d[:, 0, 0], 1e-8))  # 3-sigma columns
+    r_bands = jnp.minimum(jnp.ceil(r_u / cfg.band_w), span // 2).astype(jnp.int32)
+    center_band = jnp.floor(u / cfg.band_w).astype(jnp.int32) % n_bands
+
+    offs = jnp.arange(span) - span // 2                    # (S,)
+    bands = (center_band[:, None] + offs[None, :]) % n_bands
+    in_span = jnp.abs(offs)[None, :] <= r_bands[:, None]
+    entry_valid = in_span & valid[:, None]                 # (N, S)
+
+    # --- global sort by (band, depth-rank) -> per-band depth-ordered lists ---
+    depth_rank = jnp.argsort(jnp.argsort(jnp.where(valid, depth, jnp.inf)))
+    key = jnp.where(entry_valid, bands * n + depth_rank[:, None],
+                    n_bands * n)                           # invalid past end
+    flat_key = key.reshape(-1)
+    order = jnp.argsort(flat_key)
+    sorted_key = flat_key[order]
+    sorted_gauss = (jnp.arange(n)[:, None]
+                    * jnp.ones((1, span), jnp.int32)).reshape(-1)[order]
+    sorted_band = sorted_key // n                          # n_bands = invalid
+
+    # position within the band's segment
+    band_start = jnp.searchsorted(sorted_band, jnp.arange(n_bands))
+    pos = jnp.arange(n * span) - band_start[jnp.clip(sorted_band, 0,
+                                                     n_bands - 1)]
+    keep = (sorted_band < n_bands) & (pos < cap)
+
+    # scatter into the (n_bands, cap) table; dropped = farthest (pos >= cap)
+    table = jnp.full((n_bands * cap,), n, jnp.int32)
+    slot = jnp.where(keep, sorted_band * cap + pos, n_bands * cap)
+    table = jnp.zeros((n_bands * cap + 1,), jnp.int32).at[slot].max(
+        jnp.where(keep, sorted_gauss + 1, 0))[: n_bands * cap]
+    table = table.reshape(n_bands, cap) - 1                # -1 = empty slot
+
+    # --- gather per-band gaussian data (append a zero row for empties) -------
+    def pad_row(x, fill=0.0):
+        return jnp.concatenate([x, jnp.full((1, *x.shape[1:]), fill, x.dtype)])
+
+    gu = pad_row(u[:, None])[:, 0]
+    gv = pad_row(v[:, None])[:, 0]
+    gd = pad_row(depth[:, None])[:, 0]
+    gop = pad_row(jnp.where(valid, opacities, 0.0)[:, None])[:, 0]
+    ginv = pad_row(inv_flat)
+    gfeat = pad_row(features)
+
+    idx = jnp.where(table >= 0, table, n)                  # (B, cap)
+    bu, bv, bd, bop = gu[idx], gv[idx], gd[idx], gop[idx]
+    binv = ginv[idx]
+    bfeat = gfeat[idx]
+
+    # --- composite each band over its pixels (vmap over bands) ---------------
+    px_band = (jnp.arange(cfg.band_w, dtype=jnp.float32) + 0.5)
+    py = (jnp.arange(h, dtype=jnp.float32) + 0.5)
+
+    def render_band(b_idx, cu, cv, cd, cop, cinv, cfeat):
+        px = px_band + b_idx * cfg.band_w                  # (wb,)
+        pxg, pyg = jnp.meshgrid(px, py)                    # (H, wb)
+        pxf = pxg.reshape(-1)
+        pyf = pyg.reshape(-1)
+        p = pxf.shape[0]
+
+        n_chunks = cap // cfg.chunk
+
+        def body(carry, inputs):
+            T, acc_f, acc_d, acc_a = carry
+            ku, kv, kd, kop, kinv, kfeat = inputs
+            dx = pxf[:, None] - ku[None, :]
+            dx = dx - w * jnp.round(dx / w)                # azimuth wrap
+            dy = pyf[:, None] - kv[None, :]
+            a_, b_, c_ = kinv[:, 0], kinv[:, 1], kinv[:, 3]
+            power = -0.5 * (a_[None] * dx * dx + 2 * b_[None] * dx * dy
+                            + c_[None] * dy * dy)
+            gxp = jnp.exp(jnp.minimum(power, 0.0))
+            alpha = jnp.minimum(kop[None] * gxp, cfg.max_alpha)
+            alpha = jnp.where(power < -0.5 * cfg.cutoff_sigma2, 0.0, alpha)
+            alpha = jnp.where(alpha < cfg.alpha_thresh, 0.0, alpha)
+            om = 1.0 - alpha
+            trans_in = jnp.cumprod(om, axis=1) / jnp.maximum(om, 1e-8)
+            wgt = alpha * trans_in * T[:, None]
+            acc_f = acc_f + jnp.dot(wgt, kfeat,
+                                    preferred_element_type=jnp.float32)
+            acc_d = acc_d + jnp.dot(wgt, kd[:, None],
+                                    preferred_element_type=jnp.float32)[:, 0]
+            acc_a = acc_a + wgt.sum(axis=1)
+            T = T * jnp.prod(om, axis=1)
+            return (T, acc_f, acc_d, acc_a), None
+
+        ch = cfg.chunk
+        inputs = (cu.reshape(n_chunks, ch), cv.reshape(n_chunks, ch),
+                  cd.reshape(n_chunks, ch), cop.reshape(n_chunks, ch),
+                  cinv.reshape(n_chunks, ch, 4),
+                  cfeat.reshape(n_chunks, ch, f_dim))
+        init = (jnp.ones((p,)), jnp.zeros((p, f_dim)), jnp.zeros((p,)),
+                jnp.zeros((p,)))
+        (T, acc_f, acc_d, acc_a), _ = jax.lax.scan(body, init, inputs)
+        return (acc_f.reshape(h, cfg.band_w, f_dim),
+                acc_d.reshape(h, cfg.band_w),
+                acc_a.reshape(h, cfg.band_w),
+                T.reshape(h, cfg.band_w))
+
+    f_b, d_b, a_b, t_b = jax.vmap(render_band)(
+        jnp.arange(n_bands), bu, bv, bd, bop, binv, bfeat)
+
+    # stitch bands back: (B, H, wb, .) -> (H, W, .)
+    def stitch(x):
+        x = jnp.moveaxis(x, 0, 1)                          # (H, B, wb, ...)
+        return x.reshape(h, w, *x.shape[3:])
+
+    return {"feature": stitch(f_b), "depth": stitch(d_b),
+            "alpha": stitch(a_b), "transmittance": stitch(t_b)}
