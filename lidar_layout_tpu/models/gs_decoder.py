@@ -85,13 +85,18 @@ class GSDecoder(nn.Module):
 
 
 def render_surfels(surfels: Dict[str, Array], geom: LidarGeometry,
-                   raster_cfg: RasterConfig = RasterConfig()) -> Dict[str, Array]:
-    """Rasterize decoder surfels -> pred_range / pred_intensity / pred_raydrop."""
+                   raster_cfg=RasterConfig()) -> Dict[str, Array]:
+    """Rasterize decoder surfels -> pred_range / pred_intensity / pred_raydrop.
+
+    Pass an ``ops.gaussian_raster_tiled.BandedConfig`` as ``raster_cfg`` to use
+    the banded fast path (~4x at production scale, equivalent output)."""
     feats = jnp.concatenate([surfels["color"],
                              surfels["raydrop"][:, None]], axis=-1)
-    out = rasterize(surfels["means"], surfels["quats"], surfels["scales"],
-                    surfels["opacities"], feats, geom, mask=surfels["mask"],
-                    cfg=raster_cfg)
+    from ..ops.gaussian_raster_tiled import BandedConfig, rasterize_banded
+    impl = rasterize_banded if isinstance(raster_cfg, BandedConfig) else rasterize
+    out = impl(surfels["means"], surfels["quats"], surfels["scales"],
+               surfels["opacities"], feats, geom, mask=surfels["mask"],
+               cfg=raster_cfg)
     alpha = jnp.maximum(out["alpha"], 1e-6)
     return {
         "pred_range": out["depth"] / alpha,
