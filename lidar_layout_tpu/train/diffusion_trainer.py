@@ -9,6 +9,7 @@ all-reduce (the NCCL allreduce equivalent) automatically.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import chex
@@ -68,15 +69,19 @@ def create_train_state(model: LatentDiffusion, params: Dict[str, Any],
 
 
 def make_train_step(model: LatentDiffusion, tx: optax.GradientTransformation,
-                    ema_decay: float = 0.9999) -> Callable:
-    """Returns step(state, batch, rng) -> (state, logs); jit with donation."""
+                    ema_decay: float = 0.9999, donate: bool = False) -> Callable:
+    """Returns step(state, batch, rng) -> (state, logs).
+
+    ``donate=True`` reuses the input state's buffers in-place (halves peak HBM
+    for big models) but invalidates the passed-in state — callers must always
+    continue from the returned one."""
     keys = trainable_keys(model)
 
     def loss_fn(train_params, frozen_params, rng, batch):
         params = {**train_params, **frozen_params}
         return model.training_loss(params, rng, batch, deterministic=True)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step(state: DiffusionTrainState, batch: Dict[str, Array], rng: Array):
         train, frozen = split_params(state.params, keys)
         (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
