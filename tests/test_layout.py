@@ -150,3 +150,32 @@ class TestLayoutDiffusion:
         assert np.isfinite(np.asarray(boxes)).all()
         out = model.postprocess_boxes(boxes)
         assert out.shape[-1] == 7
+
+
+class TestGraphManipulation:
+    def test_remove_node_marks_added(self):
+        from lidar_layout_tpu.data.graph_aug import remove_node
+        g = synthetic_graph_batch(np.random.default_rng(0), n_scenes=1)
+        node = int(np.flatnonzero(g["obj_mask"])[1])
+        g2 = remove_node(g, node)
+        assert g2["enc_to_dec"][node] == -1
+        tri = g2["enc_triples"]
+        touches = (tri[:, 0] == node) | (tri[:, 2] == node)
+        assert not (g2["enc_pred_mask"] & touches).any()
+        # manipulated graph still feeds the encoder (added-node path live)
+        from lidar_layout_tpu.encoders.scene_graph import SceneGraphEncoder
+        gj = {k: jnp.asarray(v) for k, v in g2.items()}
+        enc = SceneGraphEncoder(num_objs=32, num_preds=16, embedding_dim=16)
+        params = enc.init({"params": jax.random.key(0),
+                           "change": jax.random.key(1)}, gj)
+        latent, _ = enc.apply(params, gj, rngs={"change": jax.random.key(2)})
+        assert np.isfinite(np.asarray(latent)).all()
+
+    def test_modify_relationship_flags_endpoints(self):
+        from lidar_layout_tpu.data.graph_aug import modify_relationship
+        g = synthetic_graph_batch(np.random.default_rng(1), n_scenes=1)
+        g2, t = modify_relationship(g, np.random.default_rng(2), 16)
+        assert t >= 0
+        tri = g2["enc_triples"]
+        assert g2["changed_mask"][tri[t, 0]] and g2["changed_mask"][tri[t, 2]]
+        assert (g2["enc_triples"][t, 1] != g["enc_triples"][t, 1])
