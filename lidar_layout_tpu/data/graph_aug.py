@@ -55,13 +55,20 @@ def modify_relationship(graph: Dict[str, np.ndarray], rng: np.random.Generator,
 
 def random_manipulation(graph: Dict[str, np.ndarray],
                         rng: np.random.Generator, num_preds: int = 16,
-                        p_remove: float = 0.5) -> Dict[str, np.ndarray]:
+                        p_remove: float = 0.5,
+                        max_objs: int = 0) -> Dict[str, np.ndarray]:
     """One random manipulation per call (the reference applies one per scene
-    when with_changes=True)."""
+    when with_changes=True).
+
+    ``max_objs`` is the per-scene slot count for batched graphs: every scene's
+    slot 0 is its 'ego' row and is never removed (the reference excludes ego by
+    class, nuscenes_layout_dataset.py:347). 0 means a single-scene graph.
+    """
     valid_nodes = np.flatnonzero(np.asarray(graph["obj_mask"]))
     if len(valid_nodes) > 1 and rng.random() < p_remove:
-        # never remove node 0 of a scene (the 'ego' row)
-        candidates = [n for n in valid_nodes if n % 1 == 0][1:]
+        # never remove any scene's ego row (slot 0 of each max_objs block)
+        stride = max_objs if max_objs > 0 else len(graph["obj_mask"])
+        candidates = [int(n) for n in valid_nodes if n % stride != 0]
         if candidates:
             return remove_node(graph, int(rng.choice(candidates)))
     g, _ = modify_relationship(graph, rng, num_preds)

@@ -76,7 +76,10 @@ class DiffusionSchedule:
                 lvlb = betas ** 2 / (2 * posterior_variance * alphas
                                      * (1 - alphas_cumprod))
         elif parameterization == "x0":
-            lvlb = 0.5 * np.sqrt(alphas_cumprod) / (2.0 * (1 - alphas_cumprod))
+            # reference ddpm.py:167 computes `0.5*sqrt(acp) / (2.*1 - acp)`
+            # which (operator precedence) is 0.5*sqrt(acp)/(2 - acp); matched
+            # verbatim so original_elbo_weight>0 runs agree numerically.
+            lvlb = 0.5 * np.sqrt(alphas_cumprod) / (2.0 - alphas_cumprod)
         else:
             raise NotImplementedError(parameterization)
         lvlb = lvlb.copy()

@@ -34,13 +34,15 @@ def part1by2_32(x: Array) -> Array:
 def z_order_code(grid: Array, bits: int = MAX_BITS) -> Array:
     """(N, 3) non-negative grid coords -> (N,) Morton codes (int32).
 
-    Bit layout matches the reference z_order (x lowest): x | y<<1 | z<<2
-    interleaved. ``bits`` <= 10.
+    Bit layout matches pointcept's z_order (x in the HIGHEST bit of each
+    triplet: ``(x&m)<<(2i+2) | (y&m)<<(2i+1) | (z&m)<<2i``, z_order.py) so
+    PT-v3 patch groupings agree with converted reference checkpoints:
+    code = z | y<<1 | x<<2 interleaved. ``bits`` <= 10.
     """
     assert bits <= MAX_BITS
     g = jnp.clip(grid, 0, (1 << bits) - 1)
     x, y, z = g[:, 0], g[:, 1], g[:, 2]
-    return (part1by2_32(x) | (part1by2_32(y) << 1) | (part1by2_32(z) << 2))
+    return (part1by2_32(z) | (part1by2_32(y) << 1) | (part1by2_32(x) << 2))
 
 
 def hilbert_code(grid: Array, bits: int = MAX_BITS) -> Array:

@@ -24,10 +24,23 @@ class TestSerialization:
         assert codes.min() == 0 and codes.max() == 511
 
     def test_z_order_golden(self):
-        # interleaved bits: (x=1,y=0,z=0) -> 1; (0,1,0) -> 2; (0,0,1) -> 4
+        # pointcept layout (x highest bit of each triplet, z_order.py xyz2key):
+        # (x=1,y=0,z=0) -> 4; (0,1,0) -> 2; (0,0,1) -> 1
         g = jnp.asarray([[1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 1]])
         codes = np.asarray(z_order_code(g))
-        np.testing.assert_array_equal(codes, [1, 2, 4, 7])
+        np.testing.assert_array_equal(codes, [4, 2, 1, 7])
+
+    def test_z_order_matches_pointcept_xyz2key(self):
+        # reference formula: key |= (x&m)<<(2i+2) | (y&m)<<(2i+1) | (z&m)<<2i
+        rng = np.random.default_rng(0)
+        g = rng.integers(0, 256, size=(64, 3))
+        want = np.zeros(64, np.int64)
+        for i in range(8):
+            m = 1 << i
+            want |= ((g[:, 0] & m) << (2 * i + 2)) | \
+                    ((g[:, 1] & m) << (2 * i + 1)) | ((g[:, 2] & m) << 2 * i)
+        codes = np.asarray(z_order_code(jnp.asarray(g), bits=8))
+        np.testing.assert_array_equal(codes, want)
 
     def test_hilbert_bijective_and_local(self):
         g = np.stack(np.meshgrid(*[np.arange(8)] * 3, indexing="ij"),
