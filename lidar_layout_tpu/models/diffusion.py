@@ -175,10 +175,14 @@ class LatentDiffusion:
                  t: Array, deterministic: bool = False
                  ) -> Tuple[Array, Dict[str, Array]]:
         """ddpm.py:1020-1060 (LatentDiffusion.p_losses)."""
+        rngs = None
+        if not deterministic:
+            rng, r_drop = jax.random.split(rng)
+            rngs = {"dropout": r_drop}
         noise = jax.random.normal(rng, x_start.shape, dtype=x_start.dtype)
         x_noisy = q_sample(self.schedule, x_start, t, noise)
         model_out = self.apply_model(params, x_noisy, t, cond,
-                                     deterministic=deterministic)
+                                     deterministic=deterministic, rngs=rngs)
 
         target = noise if self.cfg.parameterization == "eps" else x_start
         if self.cfg.loss_type == "l2":

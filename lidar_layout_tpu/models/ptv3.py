@@ -45,22 +45,52 @@ class PTv3Config:
     mlp_ratio: float = 4.0
     grid_size: float = 0.05
     bits: int = 10  # per-axis bits for serialization codes
-    drop_path: float = 0.0
+    drop_path: float = 0.0       # stochastic depth, linspace over blocks
+    shuffle_orders: bool = True  # permute serialization orders per level
+    enable_rpe: bool = False     # relative position bias in patch attention
 
 
 def _pad_len(n: int, patch: int) -> int:
     return (-n) % patch
 
 
-class PatchAttention(nn.Module):
-    """MHA within fixed patches of the serialized sequence."""
+class RPEBias(nn.Module):
+    """Relative-position bias table (reference RPE, :29-49): per-axis learned
+    table indexed by clamped relative grid coords, summed over xyz."""
 
     heads: int
     patch_size: int
+
+    @nn.compact
+    def __call__(self, rel: Array) -> Array:
+        # rel: (npatch, K, K, 3) int relative grid coords
+        pos_bnd = int((4 * self.patch_size) ** (1 / 3) * 2)
+        rpe_num = 2 * pos_bnd + 1
+        table = self.param(
+            "rpe_table", nn.initializers.truncated_normal(0.02),
+            (3 * rpe_num, self.heads))
+        idx = (jnp.clip(rel, -pos_bnd, pos_bnd) + pos_bnd
+               + jnp.arange(3) * rpe_num)                 # (np, K, K, 3)
+        out = table[idx].sum(axis=3)                      # (np, K, K, H)
+        return out.transpose(0, 3, 1, 2)                  # (np, H, K, K)
+
+
+class PatchAttention(nn.Module):
+    """MHA within fixed patches of the serialized sequence.
+
+    With ``enable_rpe`` the attention runs unfused (logits materialized) so the
+    relative-position bias can be added, matching the reference's
+    enable_flash=False + RPE path (:182-205).
+    """
+
+    heads: int
+    patch_size: int
+    enable_rpe: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, mask: Array) -> Array:
+    def __call__(self, x: Array, mask: Array,
+                 grid: Optional[Array] = None) -> Array:
         n, c = x.shape
         p = self.patch_size
         pad = _pad_len(n, p)
@@ -71,8 +101,22 @@ class PatchAttention(nn.Module):
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(xp)
         qkv = qkv.reshape(npatch, p, 3, self.heads, c // self.heads)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        attn_mask = mp.reshape(npatch, 1, 1, p)
-        out = jax.nn.dot_product_attention(q, k, v, mask=attn_mask)
+        if self.enable_rpe:
+            assert grid is not None, "enable_rpe needs serialized grid coords"
+            gp = jnp.pad(grid, ((0, pad), (0, 0))).reshape(npatch, p, 3)
+            rel = gp[:, :, None, :] - gp[:, None, :, :]
+            bias = RPEBias(self.heads, p, name="rpe")(rel)  # (np, H, K, K)
+            scale = (c // self.heads) ** -0.5
+            # (np, K, H, d) -> (np, H, K, d)
+            qh = q.transpose(0, 2, 1, 3).astype(jnp.float32) * scale
+            kh = k.transpose(0, 2, 1, 3).astype(jnp.float32)
+            logits = jnp.einsum("nhkd,nhqd->nhkq", qh, kh) + bias
+            logits = jnp.where(mp.reshape(npatch, 1, 1, p), logits, -1e9)
+            w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+            out = jnp.einsum("nhkq,nqhd->nkhd", w, v)
+        else:
+            attn_mask = mp.reshape(npatch, 1, 1, p)
+            out = jax.nn.dot_product_attention(q, k, v, mask=attn_mask)
         out = out.reshape(npatch * p, c)[:n]
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
@@ -97,26 +141,38 @@ class PTv3Block(nn.Module):
     heads: int
     patch_size: int
     mlp_ratio: float = 4.0
+    drop_path: float = 0.0
+    enable_rpe: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, order: Array, inverse: Array, mask: Array
-                 ) -> Array:
+    def __call__(self, x: Array, order: Array, inverse: Array, mask: Array,
+                 grid: Optional[Array] = None,
+                 deterministic: bool = True) -> Array:
+        # Per-point stochastic depth (timm DropPath on an (N, C) feat drops
+        # whole rows; reference Block :328-339 wraps attn and mlp branches).
+        def dpath(h: Array) -> Array:
+            if self.drop_path <= 0.0:
+                return h
+            return nn.Dropout(self.drop_path, broadcast_dims=(1,),
+                              deterministic=deterministic)(h)
+
         # everything happens in serialized order (incl. the CPE conv, whose
         # window-3 neighborhood is defined along the curve)
         xs = x[order]
         ms = mask[order]
+        gs = grid[order] if grid is not None else None
         xs = SerialConvCPE(dtype=self.dtype, name="cpe")(xs, ms)
         h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(xs)
-        h = PatchAttention(self.heads, self.patch_size, dtype=self.dtype,
-                           name="attn")(h, ms)
-        xs = xs + h
+        h = PatchAttention(self.heads, self.patch_size, self.enable_rpe,
+                           dtype=self.dtype, name="attn")(h, ms, gs)
+        xs = xs + dpath(h)
         h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(xs)
         h = nn.Dense(int(xs.shape[-1] * self.mlp_ratio), dtype=self.dtype,
                      name="mlp_in")(h)
         h = jax.nn.gelu(h)
         h = nn.Dense(xs.shape[-1], dtype=self.dtype, name="mlp_out")(h)
-        xs = xs + h
+        xs = xs + dpath(h)
         return xs[inverse] * mask[:, None]
 
 
@@ -160,10 +216,26 @@ class PTv3(nn.Module):
     encoder_only: bool = False
     dtype: jnp.dtype = jnp.float32
 
+    def _order_perm(self, deterministic: bool) -> Array:
+        """Per-level permutation of the serialization orders (reference
+        SerializedPooling shuffle_orders, :407-411). Identity when
+        deterministic so eval stays reproducible."""
+        L = len(self.cfg.orders)
+        if self.cfg.shuffle_orders and not deterministic and L > 1:
+            return jax.random.permutation(self.make_rng("dropout"), L)
+        return jnp.arange(L)
+
     @nn.compact
-    def __call__(self, points: Array, feats: Array, mask: Array):
+    def __call__(self, points: Array, feats: Array, mask: Array,
+                 deterministic: bool = True):
         cfg = self.cfg
         n = points.shape[0]
+        # stochastic-depth schedule: linspace(0, drop_path) over the blocks
+        # (reference :604-606, :652-657)
+        def dpr(depths: Sequence[int]) -> List[float]:
+            tot = sum(depths)
+            return [cfg.drop_path * i / max(tot - 1, 1) for i in range(tot)]
+        enc_dpr, dec_dpr = dpr(cfg.enc_depths), dpr(cfg.dec_depths)
 
         origin = jnp.min(jnp.where(mask[:, None], points, jnp.inf), axis=0)
         grid0 = jnp.floor((points - origin) / cfg.grid_size).astype(jnp.int32)
@@ -189,18 +261,28 @@ class PTv3(nn.Module):
                 x = nn.Dense(ch, dtype=self.dtype, name=f"enc{level}_proj")(x)
 
             # per-order serialization at this level
-            orders_idx = []
+            orders_stack, invs_stack = [], []
             for o in cfg.orders:
                 code = serialize_code(g, o, cfg.bits)
                 ordr = argsort_with_mask(code, m)
                 inv = jnp.zeros_like(ordr).at[ordr].set(jnp.arange(cap))
-                orders_idx.append((ordr, inv))
+                orders_stack.append(ordr)
+                invs_stack.append(inv)
+            orders_stack = jnp.stack(orders_stack)
+            invs_stack = jnp.stack(invs_stack)
+            perm = self._order_perm(deterministic)
 
             patch = min(cfg.patch_size, cap)
+            base = sum(cfg.enc_depths[:level])
             for b in range(depth):
-                ordr, inv = orders_idx[b % len(orders_idx)]
-                x = PTv3Block(heads, patch, cfg.mlp_ratio, dtype=self.dtype,
-                              name=f"enc{level}_block{b}")(x, ordr, inv, m)
+                sel = perm[b % len(cfg.orders)]
+                ordr = jnp.take(orders_stack, sel, axis=0)
+                inv = jnp.take(invs_stack, sel, axis=0)
+                x = PTv3Block(heads, patch, cfg.mlp_ratio,
+                              drop_path=enc_dpr[base + b],
+                              enable_rpe=cfg.enable_rpe, dtype=self.dtype,
+                              name=f"enc{level}_block{b}")(
+                    x, ordr, inv, m, grid=g, deterministic=deterministic)
 
             if level < len(cfg.enc_depths) - 1:
                 # grid pooling: coarsen by 2 (code >> 3 == parent z-cell)
@@ -233,16 +315,29 @@ class PTv3(nn.Module):
             x = x + nn.Dense(ch, dtype=self.dtype, name=f"dec{level}_skip")(skip_x)
             x = x * fine_mask[:, None]
 
-            orders_idx = []
+            orders_stack, invs_stack = [], []
             for o in cfg.orders:
                 code = serialize_code(g, o, cfg.bits)
                 ordr = argsort_with_mask(code, fine_mask)
                 inv = jnp.zeros_like(ordr).at[ordr].set(jnp.arange(cap))
-                orders_idx.append((ordr, inv))
+                orders_stack.append(ordr)
+                invs_stack.append(inv)
+            orders_stack = jnp.stack(orders_stack)
+            invs_stack = jnp.stack(invs_stack)
+            perm = self._order_perm(deterministic)
             patch = min(cfg.patch_size, cap)
+            # per-stage reversed slice of the decoder linspace (reference
+            # :655-657: dec_drop_path_.reverse())
+            base = sum(cfg.dec_depths[:level])
+            stage_rates = dec_dpr[base: base + cfg.dec_depths[level]][::-1]
             for b in range(cfg.dec_depths[level]):
-                ordr, inv = orders_idx[b % len(orders_idx)]
-                x = PTv3Block(heads, patch, cfg.mlp_ratio, dtype=self.dtype,
-                              name=f"dec{level}_block{b}")(x, ordr, inv,
-                                                           fine_mask)
+                sel = perm[b % len(cfg.orders)]
+                ordr = jnp.take(orders_stack, sel, axis=0)
+                inv = jnp.take(invs_stack, sel, axis=0)
+                x = PTv3Block(heads, patch, cfg.mlp_ratio,
+                              drop_path=stage_rates[b],
+                              enable_rpe=cfg.enable_rpe, dtype=self.dtype,
+                              name=f"dec{level}_block{b}")(
+                    x, ordr, inv, fine_mask, grid=g,
+                    deterministic=deterministic)
         return x, masks[0]

@@ -83,19 +83,40 @@ class CircularConvZero(nn.Module):
                        name="conv")(x)
 
 
+def _avg_pool2(x: Array) -> Array:
+    """stride-2 average pool (guided-diffusion Downsample(use_conv=False))."""
+    return nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+
+def _nearest_up2(x: Array) -> Array:
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+
+
 class ResBlock(nn.Module):
-    """guided-diffusion ResBlock (openaimodel.py:163-266) with FiLM timestep."""
+    """guided-diffusion ResBlock (openaimodel.py:163-266) with FiLM timestep.
+
+    ``up``/``down`` implement the resblock_updown variant: the resample happens
+    between the first norm/SiLU and the first conv, applied to both the h path
+    and the skip path (openaimodel.py:209-221, h_upd/x_upd with use_conv=False).
+    """
 
     out_channels: int
     dropout: float = 0.0
     use_scale_shift_norm: bool = False
     cconv: bool = True
+    up: bool = False
+    down: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, emb: Array, deterministic: bool = True) -> Array:
         h = Normalize(name="in_norm")(x)
         h = nonlinearity(h)
+        if self.up:
+            h, x = _nearest_up2(h), _nearest_up2(x)
+        elif self.down:
+            h, x = _avg_pool2(h), _avg_pool2(x)
         h = _conv3(self.out_channels, self.cconv, self.dtype, "in_conv")(h)
 
         emb_out_dim = 2 * self.out_channels if self.use_scale_shift_norm else self.out_channels
@@ -141,11 +162,17 @@ class SelfAttentionBlock(nn.Module):
 
 
 class UNetDown(nn.Module):
+    """Downsample (openaimodel.py:332-366): conv stride 2 when use_conv else
+    average pooling."""
+
     cconv: bool
+    use_conv: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        if not self.use_conv:
+            return _avg_pool2(x)
         if self.cconv:
             return CircularConv(x.shape[-1], (3, 3), (2, 2), 1, dtype=self.dtype,
                                 name="op")(x)
@@ -154,14 +181,18 @@ class UNetDown(nn.Module):
 
 
 class UNetUp(nn.Module):
+    """Upsample (openaimodel.py:288-331): nearest x2, conv only when use_conv."""
+
     cconv: bool
+    use_conv: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
-        return _conv3(c, self.cconv, self.dtype, "conv")(x)
+        x = _nearest_up2(x)
+        if not self.use_conv:
+            return x
+        return _conv3(x.shape[-1], self.cconv, self.dtype, "conv")(x)
 
 
 class UNetModel(nn.Module):
@@ -214,7 +245,13 @@ class UNetModel(nn.Module):
                     h = attn(h, ch, f"in_{level}_{i}_attn")
                 hs.append(h)
             if level != len(cfg.channel_mult) - 1:
-                h = UNetDown(cfg.cconv, dtype=self.dtype, name=f"down_{level}")(h)
+                if cfg.resblock_updown:
+                    h = ResBlockM(ch, cfg.dropout, cfg.use_scale_shift_norm,
+                                  cfg.cconv, down=True, dtype=self.dtype,
+                                  name=f"down_{level}")(h, emb, deterministic)
+                else:
+                    h = UNetDown(cfg.cconv, cfg.conv_resample, dtype=self.dtype,
+                                 name=f"down_{level}")(h)
                 hs.append(h)
                 ds *= 2
 
@@ -237,7 +274,13 @@ class UNetModel(nn.Module):
                 if ds in cfg.attention_resolutions:
                     h = attn(h, ch, f"out_{level}_{i}_attn")
             if level != 0:
-                h = UNetUp(cfg.cconv, dtype=self.dtype, name=f"up_{level}")(h)
+                if cfg.resblock_updown:
+                    h = ResBlockM(ch, cfg.dropout, cfg.use_scale_shift_norm,
+                                  cfg.cconv, up=True, dtype=self.dtype,
+                                  name=f"up_{level}")(h, emb, deterministic)
+                else:
+                    h = UNetUp(cfg.cconv, cfg.conv_resample, dtype=self.dtype,
+                               name=f"up_{level}")(h)
                 ds //= 2
 
         h = Normalize(name="norm_out")(h)

@@ -64,18 +64,28 @@ def create_ae_state(model: VQModel, disc: nn.Module, rng: Array,
 def make_ae_train_step(model: VQModel, disc: nn.Module, loss_cfg: VQLossConfig,
                        geo: GeoConverter, tx_g, tx_d,
                        perceptual_fn: Optional[Callable] = None) -> Callable:
-    """Returns step(state, batch, rng) -> (state, logs)."""
+    """Returns step(state, batch, rng) -> (state, logs).
+
+    When the AE config has dropout > 0 the generator pass runs with
+    deterministic=False and the step rng feeds the dropout collection
+    (the round-1 step silently disabled dropout for all configs)."""
     d_loss_fn = hinge_d_loss if loss_cfg.disc_loss == "hinge" else vanilla_d_loss
     out_ch = model.cfg.out_ch
     last_conv = CircularConv(out_ch, (1, 4), (1, 1), (1, 2, 0, 0))
+    use_dropout = model.cfg.dropout > 0.0
 
     def nll_from_dec(dec, x, masks):
         return reconstruction_nll(loss_cfg, geo, x, dec, masks,
                                   perceptual_fn=perceptual_fn)
 
-    def gen_loss(params_g, params_d, x, masks, global_step):
-        dec, qloss, ind, prefinal = model.apply(
-            params_g, x, method=VQModel.forward_with_prefinal)
+    def gen_loss(params_g, params_d, x, masks, global_step, rng):
+        if use_dropout:
+            dec, qloss, ind, prefinal = model.apply(
+                params_g, x, method=VQModel.forward_with_prefinal,
+                deterministic=False, rngs={"dropout": rng})
+        else:
+            dec, qloss, ind, prefinal = model.apply(
+                params_g, x, method=VQModel.forward_with_prefinal)
         nll, parts = nll_from_dec(dec, x, masks)
 
         disc_recon = assemble_disc_input(loss_cfg, geo, dec, masks, is_recon=True)
@@ -126,7 +136,7 @@ def make_ae_train_step(model: VQModel, disc: nn.Module, loss_cfg: VQLossConfig,
 
         # optimizer_idx == 0: generator
         (gl, (parts, dec)), grads_g = jax.value_and_grad(gen_loss, has_aux=True)(
-            state.params_g, state.params_d, x, masks, state.step)
+            state.params_g, state.params_d, x, masks, state.step, rng)
         upd_g, opt_g = tx_g.update(grads_g, state.opt_g, state.params_g)
         params_g = optax.apply_updates(state.params_g, upd_g)
 

@@ -69,17 +69,26 @@ def create_train_state(model: LatentDiffusion, params: Dict[str, Any],
 
 
 def make_train_step(model: LatentDiffusion, tx: optax.GradientTransformation,
-                    ema_decay: float = 0.9999, donate: bool = False) -> Callable:
+                    ema_decay: float = 0.9999, donate: bool = False,
+                    deterministic: Optional[bool] = None) -> Callable:
     """Returns step(state, batch, rng) -> (state, logs).
 
     ``donate=True`` reuses the input state's buffers in-place (halves peak HBM
     for big models) but invalidates the passed-in state — callers must always
-    continue from the returned one."""
+    continue from the returned one.
+
+    ``deterministic`` defaults to "dropout off iff the U-Net config has
+    dropout == 0" so configs with dropout > 0 (e.g. the reference's
+    layout_cond_c2_p4.yaml, unet dropout: 0.1) actually train with dropout;
+    p_losses threads the rng through apply_model."""
     keys = trainable_keys(model)
+    if deterministic is None:
+        deterministic = model.unet.cfg.dropout == 0.0
 
     def loss_fn(train_params, frozen_params, rng, batch):
         params = {**train_params, **frozen_params}
-        return model.training_loss(params, rng, batch, deterministic=True)
+        return model.training_loss(params, rng, batch,
+                                   deterministic=deterministic)
 
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step(state: DiffusionTrainState, batch: Dict[str, Array], rng: Array):
