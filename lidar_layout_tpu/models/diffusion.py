@@ -57,10 +57,11 @@ class LatentDiffusion:
     "logvar"}``. Only "unet" (+ "cond_stage" when trainable) receive gradients.
     """
 
-    def __init__(self, cfg: DiffusionConfig, unet_cfg: UNetConfig,
+    def __init__(self, cfg: DiffusionConfig, unet_cfg: Optional[UNetConfig],
                  first_stage_cfg: Optional[AEConfig] = None,
                  n_embed: int = 16384, embed_dim: int = 8, use_mask: bool = True,
                  cond_stage: Optional[nn.Module] = None,
+                 unet: Optional[nn.Module] = None,
                  dtype=jnp.float32):
         self.cfg = cfg
         self.schedule = DiffusionSchedule.create(
@@ -68,7 +69,10 @@ class LatentDiffusion:
             linear_start=cfg.linear_start, linear_end=cfg.linear_end,
             cosine_s=cfg.cosine_s, v_posterior=cfg.v_posterior,
             parameterization=cfg.parameterization)
-        self.unet = UNetModel(unet_cfg, dtype=dtype)
+        # ``unet`` overrides the standard openaimodel U-Net — used for
+        # conditioning_key='layout_crossattn' (object_cross_unet.py:632) whose
+        # module takes the raw layout-encoder dict instead of context/concat.
+        self.unet = unet if unet is not None else UNetModel(unet_cfg, dtype=dtype)
         self.first_stage = (VQModelInterface(first_stage_cfg, n_embed=n_embed,
                                              embed_dim=embed_dim, use_mask=use_mask,
                                              dtype=dtype)
@@ -87,13 +91,23 @@ class LatentDiffusion:
         concat = None
         y = None
         cond_params = {}
+        cond_out = None
         if self.cond_stage is not None and cond_example is not None:
             cond_params = self.cond_stage.init(r3, cond_example)
             cond_out = self.cond_stage.apply(cond_params, cond_example)
             context, concat, y = self._split_cond(cond_out)
 
-        unet_in = z if concat is None else jnp.concatenate([z, concat], axis=-1)
-        unet_params = self.unet.init(r1, unet_in, t, context=context, y=y)
+        if self.cfg.conditioning_key == "layout_crossattn" \
+                and isinstance(cond_out, dict) and "xf_proj" in cond_out:
+            # batch sizes must agree: the object-aware attention concatenates
+            # image tokens with the layout tokens along the sequence axis
+            b = cond_out["xf_proj"].shape[0]
+            zb = jnp.broadcast_to(z, (b, *z.shape[1:]))
+            tb = jnp.zeros((b,), jnp.int32)
+            unet_params = self.unet.init(r1, zb, tb, cond_out)
+        else:
+            unet_in = z if concat is None else jnp.concatenate([z, concat], axis=-1)
+            unet_params = self.unet.init(r1, unet_in, t, context=context, y=y)
 
         fs_params = {}
         if self.first_stage is not None:
@@ -149,6 +163,12 @@ class LatentDiffusion:
         """DiffusionWrapper dispatch (ddpm.py:2313-2339)."""
         key = self.cfg.conditioning_key
         context = concat = y = None
+        if key == "layout_crossattn" and isinstance(cond, dict) \
+                and "xf_proj" in cond:
+            # object-aware cross-attention U-Net consumes the layout-encoder
+            # output dict directly (ddpm.py:2334-2336 'layout_crossattn')
+            return self.unet.apply(params["unet"], x_noisy, t, cond,
+                                   deterministic=deterministic, rngs=rngs)
         if key is None:
             pass
         elif key == "concat":

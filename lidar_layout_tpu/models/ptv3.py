@@ -341,3 +341,26 @@ class PTv3(nn.Module):
                     x, ordr, inv, fine_mask, grid=g,
                     deterministic=deterministic)
         return x, masks[0]
+
+
+class PTv3Segmentor(nn.Module):
+    """PT-v3 backbone + per-point linear seg head.
+
+    Parity: ``pointcept/models/default.py`` DefaultSegmentorV2 (backbone ->
+    seg_head Linear, CE loss handled by the trainer). Drives the ptv3.py
+    dense-decoder config family.
+    """
+
+    backbone_cfg: PTv3Config
+    num_classes: int = 16
+    backbone_out_channels: int = 64
+
+    @nn.compact
+    def __call__(self, points: Array, feats: Array, mask: Array,
+                 deterministic: bool = True) -> Array:
+        h, _ = PTv3(self.backbone_cfg, name="backbone")(
+            points, feats, mask, deterministic=deterministic)
+        h = nn.Dense(self.backbone_out_channels, name="neck")(h)
+        h = jax.nn.gelu(h)
+        logits = nn.Dense(self.num_classes, name="seg_head")(h)
+        return logits * mask[:, None]
