@@ -1,9 +1,11 @@
 #!/usr/bin/env python
 """Train the Gaussian-surfel dense decoder (pointcept-style stage).
 
-Parity: ``scripts/train_dense_decoder.py`` + pointcept DefaultTrainer — here
-the hook-driven Trainer runs one jitted SPMD step (no mp.spawn launcher).
-Synthetic scenes stand in when no dataset root is provided.
+Config-driven parity with the reference ``scripts/train_dense_decoder.py`` +
+pointcept DefaultTrainer: ``-b configs/ours/nuscenes/dense_decoder/gaus_10cm
+.yaml -d data_root``. The backbone comes from the config (full reference
+widths by default); one jitted SPMD step replaces the mp.spawn launcher.
+Synthetic scenes stand in only when no dataset root is provided (logged).
 """
 from __future__ import annotations
 
@@ -13,63 +15,104 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+DEFAULT_CONFIG = os.path.join(os.path.dirname(__file__), "..", "configs",
+                              "ours", "nuscenes", "dense_decoder",
+                              "gaus_10cm.yaml")
+
 
 def main():
     p = argparse.ArgumentParser()
+    p.add_argument("-b", "--base", default=DEFAULT_CONFIG, help="YAML config")
     p.add_argument("-d", "--data-root", default=None)
     p.add_argument("--steps", type=int, default=2000)
-    p.add_argument("--workdir", default="./runs/dense_decoder")
+    p.add_argument("--workdir", default=None)
     p.add_argument("--n-points", type=int, default=8192)
+    p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("-s", "--seed", type=int, default=0)
-    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--tiny", action="store_true",
+                   help="shrink backbone + geometry for smoke runs")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (fast local smoke runs)")
     args = p.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
     import optax
 
-    from lidar_layout_tpu.data.synthetic import synthetic_scene
-    from lidar_layout_tpu.models.gs_decoder import (DenseDecoder,
-                                                    GSDecoderConfig, gs_loss,
-                                                    render_surfels)
-    from lidar_layout_tpu.models.ptv3 import PTv3Config
+    from lidar_layout_tpu.config import instantiate_from_config, load_yaml
+    from lidar_layout_tpu.data.factory import build_batches
+    from lidar_layout_tpu.models.gs_decoder import gs_loss, render_surfels
     from lidar_layout_tpu.ops.gaussian_raster import RasterConfig
-    from lidar_layout_tpu.ops.lidar import NUSCENES_GEOMETRY, LidarGeometry, pcd2range
+    from lidar_layout_tpu.ops.lidar import LidarGeometry, pcd2range
     from lidar_layout_tpu.train.trainer import (CheckpointSaver,
                                                 InformationWriter,
                                                 IterationTimer, Trainer)
 
-    geom = LidarGeometry(size=(16, 64)) if args.tiny else NUSCENES_GEOMETRY
-    n_pts = 512 if args.tiny else args.n_points
-    bb = (PTv3Config(in_channels=4, patch_size=64, enc_depths=(1, 1),
-                     enc_channels=(16, 32), enc_heads=(2, 4), dec_depths=(1,),
-                     dec_channels=(16,), dec_heads=(2,), bits=8)
-          if args.tiny else
-          PTv3Config(in_channels=4, patch_size=1024,
-                     enc_depths=(2, 2, 2), enc_channels=(32, 64, 128),
-                     enc_heads=(2, 4, 8), dec_depths=(2, 2),
-                     dec_channels=(64, 64), dec_heads=(4, 4)))
-    model = DenseDecoder(bb, GSDecoderConfig(feat_dim=32, n_offsets=4))
+    cfg = load_yaml(args.base)
+    model_cfg = cfg["model"]
+    data_cfg = cfg.get("data", {}).get("params", {})
+    dset_cfg = data_cfg.get("dataset", {})
+    name = os.path.splitext(os.path.basename(args.base))[0]
+    workdir = args.workdir or f"./runs/{name}"
+
+    if args.tiny:
+        model_cfg["params"]["backbone"]["params"].update(
+            enc_depths=[1, 1], enc_channels=[16, 32], enc_num_head=[2, 4],
+            enc_patch_size=[64, 64], dec_depths=[1], dec_channels=[16],
+            dec_num_head=[2], drop_path=0.0)
+        model_cfg["params"]["head"] = {"params": {"feat_dim": 16}}
+        geom = LidarGeometry(size=(16, 64), fov=(10, -30))
+        n_pts = 512
+    else:
+        geom = LidarGeometry(
+            size=tuple(dset_cfg.get("size", (32, 1024))),
+            fov=tuple(dset_cfg.get("fov", (10, -30))),
+            depth_range=tuple(dset_cfg.get("depth_range", (1.0, 56.0))),
+            depth_scale=dset_cfg.get("depth_scale", 5.84),
+            log_scale=dset_cfg.get("log_scale", True))
+        n_pts = args.n_points
+
+    model = instantiate_from_config(model_cfg)
     rc = RasterConfig(chunk=128 if args.tiny else 512)
 
-    rng = np.random.default_rng(args.seed)
+    train_blk = data_cfg.get("train", {"target": "nusc_cube_decode",
+                                       "params": {}})
+    blk_params = dict(train_blk.get("params", {}))
+    blk_params.setdefault("max_points", n_pts)
+    blk_params.setdefault("transform", data_cfg.get("transform"))
+    batch_size = args.batch_size or 1  # per-step single cloud, SPMD over dp
+    raw_batches = build_batches(train_blk.get("target", "nusc_cube_decode"),
+                                blk_params, dset_cfg, args.data_root,
+                                batch_size, seed=args.seed,
+                                force_synthetic=args.synthetic)
 
-    def make_batch():
-        pts = synthetic_scene(rng, n_pts).astype(np.float32)
-        feats = np.concatenate([pts, np.zeros((n_pts, 1), np.float32)], -1)
-        mask = np.ones(n_pts, bool)
-        gt_range, _ = pcd2range(jnp.asarray(pts), geom)
-        gt_mask = np.asarray(gt_range) > 0
-        return {"points": jnp.asarray(pts), "feats": jnp.asarray(feats),
-                "mask": jnp.asarray(mask),
-                "gt_range": jnp.where(jnp.asarray(gt_mask), gt_range, 0.0),
-                "gt_mask": jnp.asarray(gt_mask)}
+    def to_sample(b):
+        """One cloud per step: flatten batch dim, derive GT range image."""
+        pts = jnp.asarray(b["points"][0])
+        feats = jnp.asarray(b["feats"][0])
+        mask = jnp.asarray(b["mask"][0])
+        if "range_img" in b:
+            gt_range = jnp.asarray(b["range_img"][0])
+        else:
+            gt_range, _ = pcd2range(pts, geom, mask=mask)
+        gt_mask = gt_range > 0
+        return {"points": pts, "feats": feats, "mask": mask,
+                "gt_range": jnp.where(gt_mask, gt_range, 0.0),
+                "gt_mask": gt_mask}
 
-    b0 = make_batch()
+    b0 = to_sample(next(raw_batches))
     params = model.init(jax.random.key(args.seed), b0["points"], b0["feats"],
                         b0["mask"])
-    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-4))
+    opt_cfg = cfg.get("optimizer", {})
+    tx = optax.chain(optax.clip_by_global_norm(1.0),
+                     optax.adamw(opt_cfg.get("lr", 1e-4),
+                                 weight_decay=opt_cfg.get("weight_decay",
+                                                          1e-2)))
     opt = tx.init(params)
 
     @jax.jit
@@ -87,16 +130,16 @@ def main():
         return (optax.apply_updates(params, upd), opt), logs
 
     def batches():
-        while True:
-            yield make_batch()
+        for b in raw_batches:
+            yield to_sample(b)
 
-    trainer = Trainer(step_fn, (params, opt), batches(), workdir=args.workdir,
+    trainer = Trainer(step_fn, (params, opt), batches(), workdir=workdir,
                       max_steps=args.steps,
                       hooks=[IterationTimer(), InformationWriter(),
                              CheckpointSaver(max(args.steps // 5, 1))],
                       seed=args.seed)
     trainer.train()
-    print(f"done -> {args.workdir}")
+    print(f"done -> {workdir}")
 
 
 if __name__ == "__main__":

@@ -26,6 +26,8 @@ def parse_args():
     p.add_argument("--steps", type=int, default=10000)
     p.add_argument("--workdir", default=None)
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (fast local smoke runs)")
     p.add_argument("--bf16", action="store_true")
     return p.parse_args()
 
@@ -34,6 +36,9 @@ def main():
     args = parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
@@ -65,8 +70,18 @@ def main():
     batch_size = data_cfg.get("batch_size", 4)
     n_dev = len(jax.devices())
     batch_size = max(batch_size, n_dev)  # at least one sample per chip
-    ds = RangeImageDataset(None if args.synthetic else args.data_root,
-                           batch_size=batch_size, geom=geom, seed=args.seed)
+    train_blk = data_cfg.get("train")
+    if train_blk and train_blk.get("target"):
+        from lidar_layout_tpu.data.factory import build_batches
+        raw_batches = build_batches(
+            train_blk["target"], train_blk.get("params", {}), dset_cfg,
+            args.data_root, batch_size, seed=args.seed,
+            force_synthetic=args.synthetic)
+    else:
+        ds = RangeImageDataset(None if args.synthetic else args.data_root,
+                               batch_size=batch_size, geom=geom,
+                               seed=args.seed)
+        raw_batches = ds.batches()
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     target = model_cfg["target"]
@@ -110,7 +125,7 @@ def main():
     state = replicate(state, mesh)
 
     def batches():
-        for b in ds.batches():
+        for b in raw_batches:
             yield shard_batch({k: v for k, v in b.items()}, mesh)
 
     trainer = Trainer(step, state, batches(), workdir=workdir,
