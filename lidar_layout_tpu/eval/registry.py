@@ -18,7 +18,9 @@ import numpy as np
 
 from ..ops.lidar import KITTI_GEOMETRY, NUSCENES_GEOMETRY
 from .rangenet import RangeNet, preprocess_range_batch
-from .voxel_nets import SparseVoxelNet, VoxelNetConfig, depth_sector_descriptor
+from .sparse_seg_nets import (MinkowskiNet, SPVCNN, SegNetConfig,
+                              convert_torchsparse_state_dict)
+from .voxel_nets import depth_sector_descriptor
 
 MODALITY2MODEL = {"range": "rangenet", "voxel": "minkowskinet",
                   "point_voxel": "spvcnn"}
@@ -58,31 +60,51 @@ def build_feature_fn(data_type: str = "64", modality: str = "range",
 
         return feature_fn
 
-    cfg = VoxelNetConfig(point_branch=(modality == "point_voxel"))
-    net = SparseVoxelNet(cfg)
-    p0 = jnp.zeros((max_points, 3))
-    f0 = jnp.zeros((max_points, cfg.in_channels))
-    m0 = jnp.zeros((max_points,), bool)
+    # exact reference architectures (sparse_seg_nets): cr=0.5 reproduces the
+    # 768-dim descriptor of the published FSVD/FPVD tables (16 x 48)
+    voxel_size = 0.05
+    cfg = SegNetConfig(cr=0.5, capacity=32768, bits=10)
+    net = (SPVCNN if modality == "point_voxel" else MinkowskiNet)(cfg)
+    cap = max_points
+    p0 = jnp.zeros((cap, 3), jnp.int32)
+    f0 = jnp.zeros((cap, cfg.input_dims))
+    m0 = jnp.zeros((cap,), bool)
     params = net.init(jax.random.key(0), p0, f0, m0)
+    if have_weights:
+        import torch
+
+        ckpt = torch.load(os.path.join(wdir, "model.ckpt"),
+                          map_location="cpu")
+        sd = {k: v.numpy() for k, v in ckpt["state_dict"].items()
+              if hasattr(v, "numpy")}
+        params = convert_torchsparse_state_dict(
+            sd, cfg, "spvcnn" if modality == "point_voxel" else "minkowskinet")
 
     @jax.jit
-    def logits_fn(pts, fts, msk):
-        out, _ = net.apply(params, pts, fts, msk)
-        return depth_sector_descriptor(pts, out, msk,
+    def logits_fn(coords, pts, fts, msk):
+        out = net.apply(params, coords, fts, msk, return_final_logits=True)
+        anchor = (out["coords"].astype(jnp.float32) * voxel_size
+                  if modality == "voxel" else pts)
+        return depth_sector_descriptor(anchor, out["logits"], out["mask"],
                                        depth_range=geom.depth_range)
 
     def feature_fn(pcds: Sequence[np.ndarray]) -> np.ndarray:
         descs = []
         for pcd in pcds:
-            n = min(len(pcd), max_points)
-            pts = np.zeros((max_points, 3), np.float32)
+            n = min(len(pcd), cap)
+            pts = np.zeros((cap, 3), np.float32)
             pts[:n] = pcd[:n]
-            fts = np.concatenate([pts, np.zeros((max_points, 1), np.float32)], -1)
-            msk = np.zeros((max_points,), bool)
+            # pcd2voxel contract (metric_utils.py:157-168): 0.05 m rounding,
+            # min-shifted coords, feat = [xyz, -1]
+            vox = np.round(pts / voxel_size)
+            vox -= vox[:n].min(0, keepdims=True) if n else 0
+            fts = np.concatenate(
+                [pts, -np.ones((cap, 1), np.float32)], -1)
+            msk = np.zeros((cap,), bool)
             msk[:n] = True
-            descs.append(np.asarray(logits_fn(jnp.asarray(pts),
-                                              jnp.asarray(fts),
-                                              jnp.asarray(msk))))
+            descs.append(np.asarray(logits_fn(
+                jnp.asarray(vox, jnp.int32), jnp.asarray(pts),
+                jnp.asarray(fts), jnp.asarray(msk))))
         return np.stack(descs)
 
     return feature_fn
