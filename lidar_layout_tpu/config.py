@@ -36,9 +36,11 @@ def _builders():
     from .models.layout_diffusion import LayoutDiffusion, LayoutDiffusionConfig
     from .models.unet import UNetConfig, UNetModel
     from .models.unet1d import UNet1DConfig
-    from .encoders.modules import (ClassEmbedder, FrozenCLIPTextEmbedder,
+    from .encoders.modules import (BERTEmbedder, ClassEmbedder,
+                                   FrozenCLIPTextEmbedder,
                                    FrozenClipMultiImageEmbedder,
-                                   FrozenClipMultiTextEmbedder, SpatialRescaler)
+                                   FrozenClipMultiTextEmbedder,
+                                   SpatialRescaler, TransformerEmbedder)
     from .losses.vq_loss import VQLossConfig
 
     def _ae_cfg(dd: Dict[str, Any]) -> AEConfig:
@@ -143,6 +145,20 @@ def _builders():
             method=params.get("method", "bilinear"),
             out_channels=params.get("out_channels"),
             wh_factors=tuple(params.get("wh_factors", (0.5, 0.5)))))
+    register("bert_embedder", "lidm.modules.encoders.modules.BERTEmbedder")(
+        lambda params, **kw: BERTEmbedder(
+            n_embed=params.get("n_embed", 640),
+            n_layer=params.get("n_layer", 32),
+            vocab_size=params.get("vocab_size", 30522),
+            max_seq_len=params.get("max_seq_len", 77),
+            embedding_dropout=params.get("embedding_dropout", 0.0)))
+    register("transformer_embedder",
+             "lidm.modules.encoders.modules.TransformerEmbedder")(
+        lambda params, **kw: TransformerEmbedder(
+            n_embed=params.get("n_embed", 640),
+            n_layer=params.get("n_layer", 32),
+            vocab_size=params.get("vocab_size", 30522),
+            max_seq_len=params.get("max_seq_len", 77)))
     register("clip_text", "lidm.modules.encoders.modules.FrozenCLIPTextEmbedder")(
         lambda params, **kw: FrozenCLIPTextEmbedder())
     register("clip_multi_text",
@@ -211,8 +227,8 @@ def _builders():
              "lidm.models.ae.autoencoder_object.VQModel_Object")(
         lambda params, **kw: VQModelObject(ObjectAEConfig(
             num_points=params.get("num_points", 512),
-            latent_tokens=params.get("modelconfig", {}).get("params", {})
-                                .get("num_grids", 256),
+            num_grids=params.get("modelconfig", {}).get("params", {})
+                            .get("num_grids", 1024),
             embed_dim=params.get("embed_dim", 1024),
             n_embed=params.get("n_embed", 4096))))
 

@@ -119,6 +119,83 @@ def simple_tokenize(texts: Sequence[str], max_len: int = 77) -> np.ndarray:
     return out
 
 
+class TransformerEmbedder(nn.Module):
+    """Trainable token-transformer conditioning tower (modules.py:34-50):
+    token embedding + learned positions + ``n_layer`` pre-LN encoder blocks,
+    returning per-token embeddings (return_embeddings=True) — the vendored
+    x_transformer TransformerWrapper re-expressed in flax."""
+
+    n_embed: int = 640
+    n_layer: int = 32
+    vocab_size: int = 30522
+    max_seq_len: int = 77
+    heads: int = 8
+    embedding_dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, tokens: Array, deterministic: bool = True) -> Array:
+        _, n = tokens.shape
+        x = nn.Embed(self.vocab_size, self.n_embed, name="token_emb")(tokens)
+        pos = self.param("pos_emb", nn.initializers.normal(0.01),
+                         (self.max_seq_len, self.n_embed))
+        x = x + pos[None, :n]
+        if self.embedding_dropout > 0:
+            x = nn.Dropout(self.embedding_dropout)(
+                x, deterministic=deterministic)
+        for i in range(self.n_layer):
+            y = nn.LayerNorm(name=f"ln1_{i}")(x)
+            y = nn.MultiHeadDotProductAttention(
+                num_heads=self.heads, name=f"attn_{i}")(y, y)
+            x = x + y
+            y = nn.LayerNorm(name=f"ln2_{i}")(x)
+            y = nn.Dense(self.n_embed * 4, name=f"mlp_in_{i}")(y)
+            y = jax.nn.gelu(y)
+            y = nn.Dense(self.n_embed, name=f"mlp_out_{i}")(y)
+            x = x + y
+        return nn.LayerNorm(name="ln_final")(x)
+
+
+def bert_tokenize(texts: Sequence[str], max_len: int = 77) -> np.ndarray:
+    """BERT WordPiece tokens (BERTTokenizer, modules.py:52-79). Uses the real
+    huggingface vocab when cached on disk; otherwise falls back to a
+    deterministic hash-bucket WordPiece substitute (zero-egress environments)
+    with BERT's special ids ([CLS]=101, [SEP]=102, vocab 30522)."""
+    try:
+        from transformers import BertTokenizerFast
+        tok = BertTokenizerFast.from_pretrained("bert-base-uncased",
+                                                local_files_only=True)
+        enc = tok(list(texts), truncation=True, max_length=max_len,
+                  padding="max_length", return_tensors="np")
+        return enc["input_ids"].astype(np.int32)
+    except Exception:
+        out = np.zeros((len(texts), max_len), dtype=np.int32)
+        for i, t in enumerate(texts):
+            words = t.lower().split()[: max_len - 2]
+            ids = [101] + [1000 + (hash(w) % 29000) for w in words] + [102]
+            out[i, : len(ids)] = ids
+        return out
+
+
+class BERTEmbedder(nn.Module):
+    """BERT-tokenized trainable text tower (modules.py:81-108): tokenize with
+    ``bert_tokenize`` host-side, embed with ``TransformerEmbedder``. The
+    reference's default text conditioning when CLIP is not used."""
+
+    n_embed: int = 640
+    n_layer: int = 32
+    vocab_size: int = 30522
+    max_seq_len: int = 77
+    embedding_dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, tokens: Array, deterministic: bool = True) -> Array:
+        return TransformerEmbedder(
+            n_embed=self.n_embed, n_layer=self.n_layer,
+            vocab_size=self.vocab_size, max_seq_len=self.max_seq_len,
+            embedding_dropout=self.embedding_dropout,
+            name="transformer")(tokens, deterministic=deterministic)
+
+
 class FrozenCLIPTextEmbedder(nn.Module):
     """Text -> (B, 1, 768) normalized CLIP embedding (modules.py:136-168)."""
 

@@ -198,8 +198,10 @@ def evaluate(reference: Sequence[np.ndarray], samples: Sequence[np.ndarray],
         out["mmd"] = compute_mmd(reference, samples, data_type)
     for name in ("frid", "fsvd", "fpvd"):
         if name in metrics:
-            assert feature_fn is not None, f"{name} needs a feature extractor"
-            f1 = feature_fn(reference)
-            f2 = feature_fn(samples)
+            fn = feature_fn.get(name) if isinstance(feature_fn, dict) \
+                else feature_fn
+            assert fn is not None, f"{name} needs a feature extractor"
+            f1 = fn(reference)
+            f2 = fn(samples)
             out[name] = frechet_distance(np.asarray(f1), np.asarray(f2))
     return out

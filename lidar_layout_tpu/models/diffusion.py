@@ -48,6 +48,12 @@ class DiffusionConfig:
     scale_by_std: bool = False
     cond_stage_trainable: bool = False
     latent_shape: Tuple[int, int, int] = (16, 128, 8)  # (H, W, C) of z
+    # split_input_params (ddpm.py:608-658): fold/unfold patched inference for
+    # inputs wider/taller than the training size. ks/stride are in *latent*
+    # units for apply_model and scaled by the first-stage factor for
+    # encode/decode. None = plain path (training size).
+    split_ks: Optional[Tuple[int, int]] = None
+    split_stride: Optional[Tuple[int, int]] = None
 
 
 class LatentDiffusion:
@@ -122,13 +128,41 @@ class LatentDiffusion:
         }
 
     # -------------------------------------------------------- first stage io
+    def _first_stage_factor(self) -> Tuple[int, int]:
+        """Total (H, W) downsampling of the first stage (the reference's vqf)."""
+        fh = fw = 1
+        for sh, sw in self.first_stage.cfg.strides:
+            fh *= sh
+            fw *= sw
+        return fh, fw
+
+    def _split_active(self, h: int, w: int) -> bool:
+        """Patched path iff configured AND the input exceeds the patch size
+        (the reference sets split_input_params only for oversized inference,
+        ddpm.py:608)."""
+        ks = self.cfg.split_ks
+        return ks is not None and (h > ks[0] or w > ks[1])
+
     def encode_first_stage(self, params, x: Array) -> Array:
         """x -> scaled latent z (ddpm.py:830-872). Frozen: stop_gradient."""
         if self.first_stage is None:  # IdentityFirstStage (pixel-space diffusion)
             return x
-        z = self.first_stage.apply(
-            params["first_stage"], x,
-            method=lambda m, x: m.encode_to_prequant(x))
+
+        def enc(xi):
+            return self.first_stage.apply(
+                params["first_stage"], xi,
+                method=lambda m, v: m.encode_to_prequant(v))
+
+        fh, fw = self._first_stage_factor()
+        if self._split_active(x.shape[1] // fh, x.shape[2] // fw):
+            from ..ops.foldunfold import patched_apply_scaled
+            kh, kw = self.cfg.split_ks
+            sh, sw = self.cfg.split_stride or self.cfg.split_ks
+            z = patched_apply_scaled(enc, x, (kh * fh, kw * fw),
+                                     (sh * fh, sw * fw),
+                                     scale=(1.0 / fh, 1.0 / fw))
+        else:
+            z = enc(x)
         return jax.lax.stop_gradient(self.cfg.scale_factor * z)
 
     def decode_first_stage(self, params, z: Array,
@@ -136,9 +170,19 @@ class LatentDiffusion:
         if self.first_stage is None:
             return z
         z = z / self.cfg.scale_factor
-        return self.first_stage.apply(
-            params["first_stage"], z, force_not_quantize,
-            method=lambda m, h, f: m.decode_latent(h, force_not_quantize=f))
+
+        def dec(zi):
+            return self.first_stage.apply(
+                params["first_stage"], zi, force_not_quantize,
+                method=lambda m, h, f: m.decode_latent(h, force_not_quantize=f))
+
+        if self._split_active(z.shape[1], z.shape[2]):
+            from ..ops.foldunfold import patched_apply_scaled
+            fh, fw = self._first_stage_factor()
+            stride = self.cfg.split_stride or self.cfg.split_ks
+            return patched_apply_scaled(dec, z, self.cfg.split_ks, stride,
+                                        scale=(float(fh), float(fw)))
+        return dec(z)
 
     def get_learned_conditioning(self, params, cond: Any) -> Any:
         if self.cond_stage is None:
@@ -186,9 +230,31 @@ class LatentDiffusion:
         else:
             raise NotImplementedError(key)
 
-        x_in = x_noisy if concat is None else jnp.concatenate([x_noisy, concat], axis=-1)
-        return self.unet.apply(params["unet"], x_in, t, context=context, y=y,
-                               deterministic=deterministic, rngs=rngs)
+        def core(x, cc):
+            x_in = x if cc is None else jnp.concatenate([x, cc], axis=-1)
+            return self.unet.apply(params["unet"], x_in, t, context=context,
+                                   y=y, deterministic=deterministic, rngs=rngs)
+
+        if self._split_active(x_noisy.shape[1], x_noisy.shape[2]):
+            # patched denoising on oversized latents (ddpm.py:911-992): image-
+            # like concat conditioning unfolds with the latent, crossattn
+            # context / class labels are shared across crops.
+            from ..ops.foldunfold import fold_patches, unfold_patches
+            ks = self.cfg.split_ks
+            stride = self.cfg.split_stride or ks
+            tiles, coords = unfold_patches(x_noisy, ks, stride)
+            ctiles = None
+            if concat is not None:
+                ctiles, _ = unfold_patches(concat, ks, stride)
+            outs = []
+            for i in range(tiles.shape[1]):
+                outs.append(core(tiles[:, i],
+                                 None if ctiles is None else ctiles[:, i]))
+            outs = jnp.stack(outs, axis=1)
+            b, h, w = x_noisy.shape[:3]
+            return fold_patches(outs, coords, (b, h, w, outs.shape[-1]))
+
+        return core(x_noisy, concat)
 
     # ----------------------------------------------------------------- loss
     def p_losses(self, params, rng: Array, x_start: Array, cond: Any,
@@ -254,3 +320,18 @@ class LatentDiffusion:
 def calibrate_scale_factor(z: Array) -> float:
     """scale_by_std calibration: 1/std(z) over the first batch (ddpm.py:540-553)."""
     return float(1.0 / jnp.std(z))
+
+
+def apply_scale_by_std(model: "LatentDiffusion", params, first_batch_image: Array
+                       ) -> float:
+    """on_train_batch_start rescaling (ddpm.py:540-553): when scale_by_std is
+    set and scale_factor is still the default 1.0, replace it with
+    1/std(encode(first batch)). Mutates ``model.cfg`` in place (the config is
+    a frozen dataclass; the model holds a fresh copy) and returns the factor.
+    """
+    if not model.cfg.scale_by_std or model.cfg.scale_factor != 1.0:
+        return model.cfg.scale_factor
+    z = model.encode_first_stage(params, first_batch_image)
+    s = calibrate_scale_factor(z)
+    model.cfg = dataclasses.replace(model.cfg, scale_factor=s)
+    return s

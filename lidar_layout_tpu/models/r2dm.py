@@ -29,11 +29,21 @@ class R2DMConfig:
     channels: int = 2                  # depth + intensity
     base_channels: int = 64
     channel_mult: Tuple[int, ...] = (1, 2, 4, 8)
-    num_res_blocks: int = 2
-    coord_bands: int = 6               # fourier coordinate encoding
+    num_res_blocks: int = 2            # int or per-level tuple (ref: (3,3,3,3))
+    coord_bands: int = 6               # fourier coordinate encoding bands
+    # "fourier_features" | "spherical_harmonics" | "polar_coordinates" | None
+    # (efficient_unet.py:287-300 coords_encoding; ref default is SH levels=5)
+    coords_encoding: str = "fourier_features"
+    sh_levels: int = 5
+    attn_levels: Tuple[int, ...] = (3,)   # deepest level, ref d/u_block4
+    attn_num_heads: int = 8
     timesteps: int = 1024
     beta_schedule: str = "cosine"
     loss_type: str = "l2"
+
+    def blocks_at(self, lvl: int) -> int:
+        n = self.num_res_blocks
+        return n[lvl] if isinstance(n, (tuple, list)) else n
 
 
 def coord_encoding(h: int, w: int, bands: int) -> jnp.ndarray:
@@ -51,6 +61,71 @@ def coord_encoding(h: int, w: int, bands: int) -> jnp.ndarray:
         feats.append(np.broadcast_to(np.sin(k * np.pi * yy)[:, None], (h, w)))
         feats.append(np.broadcast_to(np.cos(k * np.pi * yy)[:, None], (h, w)))
     return jnp.asarray(np.stack(feats, -1), jnp.float32)
+
+
+def polar_dirs(h: int, w: int):
+    """Unit view directions of the range grid (encoding.generate_polar_coords):
+    elevation spans rows top-down, azimuth wraps across columns."""
+    import numpy as np
+
+    el = (0.5 - (np.arange(h) + 0.5) / h) * np.pi  # (+pi/2 .. -pi/2)
+    az = ((np.arange(w) + 0.5) / w * 2 - 1) * np.pi
+    el, az = np.meshgrid(el, az, indexing="ij")
+    return np.stack([np.cos(el) * np.cos(az), np.cos(el) * np.sin(az),
+                     np.sin(el)], -1)
+
+
+def sh_coord_encoding(h: int, w: int, levels: int) -> jnp.ndarray:
+    """(H, W, levels**2) real-SH basis of the per-pixel view direction
+    (encoding.SphericalHarmonics(levels=5), efficient_unet.py:292). Computed
+    host-side once — the grid is static."""
+    import numpy as np
+
+    try:  # scipy >= 1.15
+        from scipy.special import sph_harm_y
+        def _sh(m, l, az, pol):
+            return sph_harm_y(l, m, pol, az)
+    except ImportError:
+        from scipy.special import sph_harm
+        def _sh(m, l, az, pol):
+            return sph_harm(m, l, az, pol)
+
+    d = polar_dirs(h, w)
+    theta = np.arccos(np.clip(d[..., 2], -1, 1))        # polar angle
+    phi = np.arctan2(d[..., 1], d[..., 0])              # azimuth
+    feats = []
+    for l in range(levels):
+        for m in range(-l, l + 1):
+            y = _sh(abs(m), l, phi, theta)
+            if m < 0:
+                feats.append(np.sqrt(2) * y.imag)
+            elif m == 0:
+                feats.append(y.real)
+            else:
+                feats.append(np.sqrt(2) * y.real)
+    return jnp.asarray(np.stack(feats, -1), jnp.float32)
+
+
+def polar_coord_encoding(h: int, w: int) -> jnp.ndarray:
+    """Raw (H, W, 3) unit-direction channels (coords_encoding='polar_coordinates')."""
+    import numpy as np
+
+    return jnp.asarray(polar_dirs(h, w), jnp.float32)
+
+
+class EffSelfAttention(nn.Module):
+    """GN -> flattened MHA -> residual (efficient_unet.py:23-53), used at the
+    deepest resolution where the sequence is short enough for full attention."""
+
+    num_heads: int = 8
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        b, h, w, c = x.shape
+        y = Normalize(name="norm")(x).reshape(b, h * w, c)
+        y = nn.MultiHeadDotProductAttention(num_heads=self.num_heads,
+                                            name="attn")(y, y)
+        return x + y.reshape(b, h, w, c)
 
 
 class EffResBlock(nn.Module):
@@ -78,9 +153,19 @@ class EfficientUNet(nn.Module):
     def __call__(self, x: Array, timesteps: Array) -> Array:
         cfg = self.cfg
         b, h, w, _ = x.shape
-        coords = jnp.broadcast_to(coord_encoding(h, w, cfg.coord_bands)[None],
-                                  (b, h, w, 4 * cfg.coord_bands))
-        x_in = jnp.concatenate([x, coords], axis=-1)
+        if cfg.coords_encoding == "spherical_harmonics":
+            coords = sh_coord_encoding(h, w, cfg.sh_levels)
+        elif cfg.coords_encoding == "polar_coordinates":
+            coords = polar_coord_encoding(h, w)
+        elif cfg.coords_encoding == "fourier_features":
+            coords = coord_encoding(h, w, cfg.coord_bands)
+        else:
+            coords = None
+        if coords is not None:
+            coords = jnp.broadcast_to(coords[None], (b, h, w, coords.shape[-1]))
+            x_in = jnp.concatenate([x, coords], axis=-1)
+        else:
+            x_in = x
 
         time_dim = cfg.base_channels * 4
         emb = timestep_embedding(timesteps, cfg.base_channels)
@@ -91,9 +176,13 @@ class EfficientUNet(nn.Module):
         skips = [hh]
         for lvl, mult in enumerate(cfg.channel_mult):
             ch = cfg.base_channels * mult
-            for i in range(cfg.num_res_blocks):
+            for i in range(cfg.blocks_at(lvl)):
                 hh = EffResBlock(ch, name=f"down_{lvl}_{i}")(hh, emb)
                 skips.append(hh)
+            if lvl in cfg.attn_levels:  # ref: d_block4 attn=True
+                hh = EffSelfAttention(cfg.attn_num_heads,
+                                      name=f"down_{lvl}_attn")(hh)
+                skips[-1] = hh
             if lvl != len(cfg.channel_mult) - 1:
                 hh = CircularConv(ch, (3, 3), (2, 2), (0, 1, 0, 1),
                                   name=f"down_{lvl}_pool")(hh)
@@ -103,9 +192,12 @@ class EfficientUNet(nn.Module):
 
         for lvl in reversed(range(len(cfg.channel_mult))):
             ch = cfg.base_channels * cfg.channel_mult[lvl]
-            for i in range(cfg.num_res_blocks + 1):
+            for i in range(cfg.blocks_at(lvl) + 1):
                 hh = jnp.concatenate([hh, skips.pop()], axis=-1)
                 hh = EffResBlock(ch, name=f"up_{lvl}_{i}")(hh, emb)
+            if lvl in cfg.attn_levels:  # ref: u_block4 attn=True
+                hh = EffSelfAttention(cfg.attn_num_heads,
+                                      name=f"up_{lvl}_attn")(hh)
             if lvl != 0:
                 bb, hh_, ww_, cc = hh.shape
                 hh = jax.image.resize(hh, (bb, hh_ * 2, ww_ * 2, cc), "nearest")

@@ -76,3 +76,22 @@ def patched_apply(fn: Callable[[Array], Array], x: Array,
     tiles, coords = unfold_patches(x, patch, stride)
     outs = jax.vmap(fn, in_axes=1, out_axes=1)(tiles)
     return fold_patches(outs, coords, x.shape[:3] + (outs.shape[-1],))
+
+
+def patched_apply_scaled(fn: Callable[[Array], Array], x: Array,
+                         patch: Tuple[int, int], stride: Tuple[int, int],
+                         scale: Tuple[float, float] = (1.0, 1.0)) -> Array:
+    """Patch-wise apply for resolution-changing ``fn`` (VQ encode/decode).
+
+    The reference's patch_distributed_vq path (ddpm.py:727-786, 838-872):
+    unfold at image resolution, run the first stage on each crop, fold the
+    (rescaled) outputs on a canvas ``scale`` times the input's spatial size.
+    ``scale`` is 1/vqf for encode and vqf for decode.
+    """
+    b, h, w, _ = x.shape
+    sh, sw = scale
+    tiles, coords = unfold_patches(x, patch, stride)
+    outs = jax.vmap(fn, in_axes=1, out_axes=1)(tiles)
+    oh, ow = int(round(h * sh)), int(round(w * sw))
+    ocoords = [(int(round(y0 * sh)), int(round(x0 * sw))) for y0, x0 in coords]
+    return fold_patches(outs, ocoords, (b, oh, ow, outs.shape[-1]))

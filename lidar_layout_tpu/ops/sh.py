@@ -1,0 +1,59 @@
+"""Real spherical harmonics evaluation (degree <= 3).
+
+Parity: ``lidm/modules/gaussians/utils/sh_utils.py`` eval_sh (the PlenOctree
+polynomial basis — universal math constants). The LiDAR sensor sits at the
+origin, so a gaussian's viewing direction is just its normalized center; the
+SH payload carries view-dependent [2 aux, intensity, raydrop] channels
+(gaussian_renderer/__init__.py:96 splits the rendered 4-channel image).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+C0 = 0.28209479177387814
+C1 = 0.4886025119029199
+C2 = (1.0925484305920792, -1.0925484305920792, 0.31539156525252005,
+      -1.0925484305920792, 0.5462742152960396)
+C3 = (-0.5900435899266435, 2.890611442640554, -0.4570457994644658,
+      0.3731763325901154, -0.4570457994644658, 1.445305721320277,
+      -0.5900435899266435)
+
+
+def eval_sh(deg: int, sh: Array, dirs: Array) -> Array:
+    """Evaluate SH at unit directions.
+
+    sh: (..., C, (deg+1)**2) coefficients; dirs: (..., 3) unit vectors.
+    Returns (..., C).
+    """
+    assert 0 <= deg <= 3
+    assert sh.shape[-1] >= (deg + 1) ** 2
+
+    result = C0 * sh[..., 0]
+    if deg == 0:
+        return result
+    x, y, z = (dirs[..., 0:1], dirs[..., 1:2], dirs[..., 2:3])
+    result = (result - C1 * y * sh[..., 1] + C1 * z * sh[..., 2]
+              - C1 * x * sh[..., 3])
+    if deg == 1:
+        return result
+    xx, yy, zz = x * x, y * y, z * z
+    xy, yz, xz = x * y, y * z, x * z
+    result = (result
+              + C2[0] * xy * sh[..., 4]
+              + C2[1] * yz * sh[..., 5]
+              + C2[2] * (2.0 * zz - xx - yy) * sh[..., 6]
+              + C2[3] * xz * sh[..., 7]
+              + C2[4] * (xx - yy) * sh[..., 8])
+    if deg == 2:
+        return result
+    return (result
+            + C3[0] * y * (3 * xx - yy) * sh[..., 9]
+            + C3[1] * xy * z * sh[..., 10]
+            + C3[2] * y * (4 * zz - xx - yy) * sh[..., 11]
+            + C3[3] * z * (2 * zz - 3 * xx - 3 * yy) * sh[..., 12]
+            + C3[4] * x * (4 * zz - xx - yy) * sh[..., 13]
+            + C3[5] * z * (xx - yy) * sh[..., 14]
+            + C3[6] * x * (xx - 3 * yy) * sh[..., 15])

@@ -41,9 +41,17 @@ class AETrainState:
     step: Array
 
 
-def make_ae_optimizers(lr_g: float, lr_d: float):
-    """Adam(0.5, 0.9) pair (autoencoder.py:219-226)."""
-    return (optax.adam(lr_g, b1=0.5, b2=0.9), optax.adam(lr_d, b1=0.5, b2=0.9))
+def make_ae_optimizers(lr_g, lr_d, accumulate: int = 1):
+    """Adam(0.5, 0.9) pair (autoencoder.py:219-226).
+
+    ``lr_*`` may be floats or optax schedules; ``accumulate > 1`` wraps both
+    in MultiSteps (reference accumulate_grad_batches, main.py:712-717)."""
+    tx_g = optax.adam(lr_g, b1=0.5, b2=0.9)
+    tx_d = optax.adam(lr_d, b1=0.5, b2=0.9)
+    if accumulate > 1:
+        tx_g = optax.MultiSteps(tx_g, every_k_schedule=accumulate)
+        tx_d = optax.MultiSteps(tx_d, every_k_schedule=accumulate)
+    return tx_g, tx_d
 
 
 def create_ae_state(model: VQModel, disc: nn.Module, rng: Array,
@@ -151,3 +159,23 @@ def make_ae_train_step(model: VQModel, disc: nn.Module, loss_cfg: VQLossConfig,
                             opt_g=opt_g, opt_d=opt_d, step=state.step + 1), logs
 
     return step
+
+
+def make_ae_val_step(model: VQModel, loss_cfg: VQLossConfig,
+                     geo: GeoConverter,
+                     perceptual_fn: Optional[Callable] = None) -> Callable:
+    """validation_step for the AE (autoencoder.py:181-196): reconstruction
+    NLL + codebook loss on held-out batches, no GAN terms."""
+
+    @jax.jit
+    def val_step(state: AETrainState, batch: Dict[str, Array], rng: Array
+                 ) -> Dict[str, Array]:
+        x = batch["image"]
+        masks = batch.get("mask") if loss_cfg.mask_factor > 0 else None
+        dec, qloss, _ = model.apply(state.params_g, x)
+        nll, parts = reconstruction_nll(loss_cfg, geo, x, dec, masks,
+                                        perceptual_fn=perceptual_fn)
+        return {"rec_loss": parts["rec_loss"], "nll_loss": nll,
+                "quant_loss": qloss}
+
+    return val_step

@@ -46,14 +46,24 @@ def split_params(params: Dict[str, Any], keys: Tuple[str, ...]):
     return train, frozen
 
 
-def make_optimizer(lr: float, weight_decay: float = 1e-2,
-                   grad_clip: Optional[float] = None) -> optax.GradientTransformation:
-    """AdamW as in configure_optimizers (ddpm.py:1378)."""
+def make_optimizer(lr, weight_decay: float = 1e-2,
+                   grad_clip: Optional[float] = None,
+                   accumulate: int = 1) -> optax.GradientTransformation:
+    """AdamW as in configure_optimizers (ddpm.py:1378).
+
+    ``lr`` may be a float or an optax schedule (the LambdaWarmUpCosine family
+    from ``train/lr_schedule.py``). ``accumulate > 1`` wraps the optimizer in
+    ``optax.MultiSteps`` — the reference's accumulate_grad_batches
+    (main.py:712-717): updates apply every k-th step, gradients average over
+    the window, so k micro-steps at batch b match one step at batch k*b."""
     txs = []
     if grad_clip:
         txs.append(optax.clip_by_global_norm(grad_clip))
     txs.append(optax.adamw(lr, weight_decay=weight_decay))
-    return optax.chain(*txs)
+    tx = optax.chain(*txs)
+    if accumulate > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate)
+    return tx
 
 
 def create_train_state(model: LatentDiffusion, params: Dict[str, Any],
@@ -83,7 +93,8 @@ def make_train_step(model: LatentDiffusion, tx: optax.GradientTransformation,
     p_losses threads the rng through apply_model."""
     keys = trainable_keys(model)
     if deterministic is None:
-        deterministic = model.unet.cfg.dropout == 0.0
+        deterministic = getattr(getattr(model.unet, "cfg", None),
+                                "dropout", 0.0) == 0.0
 
     def loss_fn(train_params, frozen_params, rng, batch):
         params = {**train_params, **frozen_params}
@@ -112,3 +123,22 @@ def ema_params(model: LatentDiffusion, state: DiffusionTrainState) -> Dict[str, 
     keys = trainable_keys(model)
     _, frozen = split_params(state.params, keys)
     return {**state.ema.params, **frozen}
+
+
+def make_val_step(model: LatentDiffusion) -> Callable:
+    """validation_step (ddpm.py:882-895): the shared-step loss with current
+    AND EMA weights, deterministic. Feeds ``val/loss_simple{,_ema}`` — the
+    reference's checkpoint monitor."""
+
+    @jax.jit
+    def val_step(state: DiffusionTrainState, batch: Dict[str, Array],
+                 rng: Array) -> Dict[str, Array]:
+        _, logs = model.training_loss(state.params, rng, batch,
+                                      deterministic=True)
+        _, logs_ema = model.training_loss(ema_params(model, state), rng,
+                                          batch, deterministic=True)
+        return {"loss_simple": logs["loss_simple"],
+                "loss": logs["loss"],
+                "loss_simple_ema": logs_ema["loss_simple"]}
+
+    return val_step

@@ -41,6 +41,26 @@ def lambda_linear(warm_up_steps: int, f_min: float, f_max: float,
     return schedule
 
 
+def lambda_warmup_cosine_optax(base_lr: float, warm_up_steps: int,
+                               lr_min: float, lr_max: float, lr_start: float,
+                               max_decay_steps: int):
+    """Jit-traceable LambdaWarmUpCosine as an optax schedule: returns
+    f(step) -> base_lr * multiplier, usable directly as the ``learning_rate``
+    of ``optax.adamw`` (the reference attaches the lambda via LambdaLR,
+    main.py:712-722 + lr_scheduler.py:4-34)."""
+    import jax.numpy as jnp
+
+    def schedule(step):
+        step = jnp.minimum(step, max_decay_steps)
+        warm = lr_start + (lr_max - lr_start) * step / max(warm_up_steps, 1)
+        t = jnp.clip((step - warm_up_steps)
+                     / max(max_decay_steps - warm_up_steps, 1), 0.0, 1.0)
+        cos = lr_min + 0.5 * (lr_max - lr_min) * (1 + jnp.cos(t * jnp.pi))
+        return base_lr * jnp.where(step < warm_up_steps, warm, cos)
+
+    return schedule
+
+
 def scale_lr(base_lr: float, batch_size: int, n_devices: int,
              accumulate: int = 1) -> float:
     """Reference LR scaling rule: accum x ngpu x bs x base_lr (main.py:718-722)."""

@@ -30,6 +30,61 @@ def save_range_png(path: str, img: np.ndarray) -> bool:
     return True
 
 
+def lidm_log_images(model, params, batch, rng, n_row: int = 4,
+                    sample_steps: int = 20, inpaint: bool = True):
+    """The LatentDiffusion.log_images suite (ddpm.py:1261-1409): inputs,
+    first-stage reconstruction, a progressive-noising diffusion row, DDIM
+    samples, and inpainting/outpainting variants (masked DDIM, ddim.py:146).
+
+    Returns dict[name -> (B, H, W, 1) model-space range images].
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.samplers import ddim_sample
+    from ..models.schedules import q_sample
+
+    x = jnp.asarray(batch["image"][:n_row])
+    n_row = x.shape[0]  # the batch may be smaller than requested
+    out = {"inputs": x}
+    z = model.encode_first_stage(params, x)
+    rec = model.decode_first_stage(params, z)
+    out["reconstruction"] = rec[..., :1]
+
+    cond = None
+    if model.cfg.conditioning_key is not None and "cond" in batch:
+        cond = model.get_learned_conditioning(
+            params, jax.tree.map(lambda v: jnp.asarray(v[:n_row]),
+                                 batch["cond"]))
+
+    # diffusion row: q_sample at evenly spaced t, decoded (ddpm.py:1286-1295)
+    r_noise, r_samp, r_inp = jax.random.split(rng, 3)
+    ts = jnp.linspace(0, model.cfg.timesteps - 1, 4).astype(jnp.int32)
+    noise = jax.random.normal(r_noise, z.shape, z.dtype)
+    diff_row = [model.decode_first_stage(
+        params, q_sample(model.schedule, z, jnp.full((z.shape[0],), t), noise)
+    )[..., :1] for t in ts]
+    out["diffusion_row"] = jnp.concatenate(diff_row, axis=1)  # stack rows
+
+    shape = (n_row, *model.cfg.latent_shape)
+    z_s = ddim_sample(model, params, r_samp, shape, steps=sample_steps,
+                      cond=cond)
+    out["samples"] = model.decode_first_stage(params, z_s)[..., :1]
+
+    if inpaint:
+        # keep the left half on the forward trajectory, regenerate the right
+        # (ddpm.py:1361-1390 inpaint/outpaint with a quartered mask)
+        h, w = model.cfg.latent_shape[:2]
+        mask = jnp.zeros((n_row, h, w, 1)).at[:, :, : w // 2].set(1.0)
+        z_in = ddim_sample(model, params, r_inp, shape, steps=sample_steps,
+                           cond=cond, mask=mask, x0=z)
+        out["samples_inpainting"] = model.decode_first_stage(params, z_in)[..., :1]
+        z_out = ddim_sample(model, params, r_inp, shape, steps=sample_steps,
+                            cond=cond, mask=1.0 - mask, x0=z)
+        out["samples_outpainting"] = model.decode_first_stage(params, z_out)[..., :1]
+    return out
+
+
 class SampleLogger(HookBase):
     """Calls ``render_fn(state, rng) -> dict[name -> (B, H, W, 1) images]``
     every ``every_steps`` and writes the results under workdir/images."""

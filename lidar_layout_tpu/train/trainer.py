@@ -62,7 +62,8 @@ class InformationWriter(HookBase):
 
     def after_step(self, logs):
         step = self.trainer.global_step
-        if step % self.log_every == 0:
+        has_val = any(k.startswith("val/") for k in logs)
+        if step % self.log_every == 0 or has_val:
             scal = {k: float(v) for k, v in logs.items()
                     if np.ndim(v) == 0}
             with open(self.path, "a") as f:
@@ -93,6 +94,84 @@ class CheckpointSaver(HookBase):
         save_checkpoint(os.path.join(self.trainer.workdir, "ckpt"),
                         self.trainer.global_step, self.trainer.state,
                         self.max_to_keep)
+
+
+class ValidationHook(HookBase):
+    """Periodic validation pass — the Lightning val loop the reference relies
+    on for its checkpoint monitor (main.py:596-617, ddpm.py:882-895
+    validation_step logs ``val/loss_simple_ema``).
+
+    ``val_fn(state, batch, rng) -> dict`` is a jitted eval step (typically the
+    training loss with EMA params and deterministic=True); metrics are averaged
+    over ``val_batches_factory()`` and merged into the step logs under
+    ``val/<name>``."""
+
+    def __init__(self, val_fn: Callable, val_batches_factory: Callable,
+                 every_steps: int = 1000, prefix: str = "val"):
+        self.val_fn = val_fn
+        self.val_batches_factory = val_batches_factory
+        self.every_steps = every_steps
+        self.prefix = prefix
+
+    def after_step(self, logs):
+        step = self.trainer.global_step
+        if step % self.every_steps != 0 and step != self.trainer.max_steps:
+            return
+        import jax
+
+        sums: Dict[str, float] = {}
+        n = 0
+        for batch in self.val_batches_factory():
+            self.trainer.rng, sub = jax.random.split(self.trainer.rng)
+            out = self.val_fn(self.trainer.state, batch, sub)
+            for k, v in out.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            n += 1
+        if n == 0:
+            return
+        for k, v in sums.items():
+            logs[f"{self.prefix}/{k}"] = v / n
+
+
+class BestCheckpointSaver(HookBase):
+    """Monitored top-k checkpointing — ModelCheckpoint(save_top_k, monitor)
+    (main.py:596-617). Saves whenever ``monitor`` appears in the step logs;
+    orbax keeps the ``top_k`` best by ``mode`` and garbage-collects the rest."""
+
+    def __init__(self, monitor: str = "val/loss_simple", top_k: int = 3,
+                 mode: str = "min", subdir: str = "ckpt_best"):
+        self.monitor = monitor
+        self.top_k = top_k
+        self.mode = mode
+        self.subdir = subdir
+        self._mgr = None
+
+    def before_train(self):
+        import orbax.checkpoint as ocp
+
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=self.top_k, create=True,
+            best_fn=lambda m: m[self.monitor], best_mode=self.mode)
+        self._mgr = ocp.CheckpointManager(
+            os.path.abspath(os.path.join(self.trainer.workdir, self.subdir)),
+            options=options)
+
+    def after_step(self, logs):
+        if self.monitor not in logs:
+            return
+        import orbax.checkpoint as ocp
+
+        self._mgr.save(
+            self.trainer.global_step,
+            args=ocp.args.StandardSave(
+                jax.tree.map(np.asarray, self.trainer.state)),
+            metrics={self.monitor: float(logs[self.monitor])})
+
+    def after_train(self):
+        if self._mgr is not None:
+            self._mgr.wait_until_finished()
+            self._mgr.close()
+            self._mgr = None
 
 
 class RuntimeProfiler(HookBase):

@@ -27,6 +27,11 @@ def parse_args():
     p.add_argument("--eta", type=float, default=0.0)
     p.add_argument("--sampler", default="ddim", choices=["ddim", "plms", "ddpm"])
     p.add_argument("--eval", action="store_true")
+    p.add_argument("--metrics", default="jsd,mmd,frid",
+                   help="comma list: jsd,mmd,cd,emd,frid,fsvd,fpvd")
+    p.add_argument("--data-root", default=None,
+                   help="real scans for the --eval reference set")
+    p.add_argument("--weights-root", default="./pretrained_weights")
     p.add_argument("--outdir", default="./samples")
     p.add_argument("--bf16", action="store_true")
     return p.parse_args()
@@ -110,11 +115,48 @@ def main():
     print(f"wrote {len(imgs)} samples to {args.outdir}")
 
     if args.eval:
-        from lidar_layout_tpu.data.synthetic import synthetic_scene
+        # the reference's quality gate (lidm/eval/eval_utils.py evaluate):
+        # score samples against REAL held-out scans, with perceptual FRID/
+        # FSVD/FPVD features from the frozen extractor registry.
         from lidar_layout_tpu.eval.metrics import evaluate
-        ref = [synthetic_scene(np.random.default_rng(i)) for i in range(len(all_pcds))]
-        out = evaluate(ref, all_pcds, ["jsd", "mmd"], args.dataset)
+        metrics = [m.strip() for m in args.metrics.split(",") if m.strip()]
+
+        ref = []
+        if args.data_root and os.path.isdir(args.data_root):
+            from lidar_layout_tpu.data.datasets import (
+                list_kitti360_scans, list_semantic_kitti_scans,
+                read_velodyne_bin)
+            from lidar_layout_tpu.data.readers import (list_nuscenes_sweeps,
+                                                       read_nuscenes_bin)
+            files = (list_kitti360_scans(args.data_root, "val")
+                     or list_semantic_kitti_scans(args.data_root, "val"))
+            reader = lambda f: read_velodyne_bin(f)[:, :3]
+            if not files:
+                files = list_nuscenes_sweeps(args.data_root, "val", "samples")
+                reader = lambda f: read_nuscenes_bin(f)[:, :3]
+            for f in files[: len(all_pcds)]:
+                ref.append(reader(f))
+        if not ref:
+            from lidar_layout_tpu.data.synthetic import synthetic_scene
+            print("[eval] no --data-root scans found — synthetic reference "
+                  "set (relative comparisons only, NOT the published tables)")
+            ref = [synthetic_scene(np.random.default_rng(i))
+                   for i in range(len(all_pcds))]
+
+        feature_fn = {}
+        modalities = {"frid": "range", "fsvd": "voxel", "fpvd": "point_voxel"}
+        for m in metrics:
+            if m in modalities:
+                from lidar_layout_tpu.eval.registry import build_feature_fn
+                feature_fn[m] = build_feature_fn(
+                    args.dataset, modalities[m],
+                    weights_root=args.weights_root)
+
+        out = evaluate(ref, all_pcds, metrics, args.dataset,
+                       feature_fn=feature_fn)
         print(json.dumps(out))
+        with open(os.path.join(args.outdir, "eval.json"), "w") as f:
+            json.dump(out, f, indent=2)
 
 
 if __name__ == "__main__":

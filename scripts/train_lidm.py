@@ -48,12 +48,30 @@ def main():
     from lidar_layout_tpu.losses.geometric import GeoConverter
     from lidar_layout_tpu.ops.lidar import LidarGeometry
     from lidar_layout_tpu.parallel.mesh import make_mesh, replicate, shard_batch
-    from lidar_layout_tpu.train.lr_schedule import scale_lr
-    from lidar_layout_tpu.train.trainer import (CheckpointSaver,
+    from lidar_layout_tpu.train.lr_schedule import (lambda_warmup_cosine_optax,
+                                                    scale_lr)
+    from lidar_layout_tpu.train.trainer import (BestCheckpointSaver,
+                                                CheckpointSaver,
                                                 InformationWriter,
-                                                IterationTimer, Trainer)
+                                                IterationTimer, Trainer,
+                                                ValidationHook)
 
     cfg = load_yaml(args.base)
+    # -r logdir config re-merge (main.py:502-518): a resumed run reloads the
+    # config it was launched with; the -b file acts as an override on top.
+    if args.resume:
+        saved = os.path.join(args.resume, "config.yaml")
+        if os.path.isfile(saved):
+            base_cfg = load_yaml(saved)
+            def merge(dst, src):
+                for k, v in src.items():
+                    if isinstance(v, dict) and isinstance(dst.get(k), dict):
+                        merge(dst[k], v)
+                    else:
+                        dst[k] = v
+            merge(base_cfg, cfg)
+            cfg = base_cfg
+            print(f"re-merged config from {saved}")
     model_cfg = cfg["model"]
     data_cfg = cfg.get("data", {}).get("params", {})
     dset_cfg = data_cfg.get("dataset", {})
@@ -68,32 +86,69 @@ def main():
         log_scale=dset_cfg.get("log_scale", True))
 
     batch_size = data_cfg.get("batch_size", 4)
+    accumulate = int(data_cfg.get("accumulate_grad_batches", 1))
     n_dev = len(jax.devices())
     batch_size = max(batch_size, n_dev)  # at least one sample per chip
-    train_blk = data_cfg.get("train")
-    if train_blk and train_blk.get("target"):
-        from lidar_layout_tpu.data.factory import build_batches
-        raw_batches = build_batches(
-            train_blk["target"], train_blk.get("params", {}), dset_cfg,
-            args.data_root, batch_size, seed=args.seed,
-            force_synthetic=args.synthetic)
-    else:
+
+    def make_raw_batches(split: str, seed: int):
+        blk = data_cfg.get(split) or data_cfg.get("train")
+        if blk and blk.get("target"):
+            from lidar_layout_tpu.data.factory import build_batches
+            params = dict(blk.get("params", {}))
+            params.setdefault("split", split if split != "validation"
+                              else "val")
+            return build_batches(
+                blk["target"], params, dset_cfg, args.data_root, batch_size,
+                seed=seed, force_synthetic=args.synthetic)
         ds = RangeImageDataset(None if args.synthetic else args.data_root,
-                               batch_size=batch_size, geom=geom,
-                               seed=args.seed)
-        raw_batches = ds.batches()
+                               batch_size=batch_size, geom=geom, seed=seed)
+        return ds.batches()
+
+    raw_batches = make_raw_batches("train", args.seed)
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     target = model_cfg["target"]
     base_lr = model_cfg.get("base_learning_rate", 4.5e-6)
-    lr = scale_lr(base_lr, batch_size, 1)
+    lr = scale_lr(base_lr, batch_size, 1, accumulate)
+    sched_cfg = model_cfg.get("scheduler_config") or \
+        model_cfg["params"].get("scheduler_config")
+    if sched_cfg:  # use_scheduler path (main.py:712-722, ddpm.py:1378-1398)
+        sp = sched_cfg.get("params", sched_cfg)
+
+        def scalar(key, default, alt=None):
+            v = sp.get(key, sp.get(alt) if alt else None)
+            if isinstance(v, (list, tuple)):  # LambdaLinearScheduler lists
+                v = v[0] if v else None
+            return default if v is None else float(v)
+
+        lr = lambda_warmup_cosine_optax(
+            lr, warm_up_steps=int(scalar("warm_up_steps", 1000)),
+            lr_min=scalar("f_min", 0.0, "lr_min"),
+            lr_max=scalar("f_max", 1.0, "lr_max"),
+            lr_start=scalar("f_start", 1e-6, "lr_start"),
+            max_decay_steps=int(scalar("cycle_lengths", args.steps)))
     mesh = make_mesh()
+
+    # ---- held-out validation batches (a fixed, finite slice per pass) ----
+    val_every = max(int(data_cfg.get("val_every_steps", args.steps // 10 or 1)), 1)
+    n_val_batches = int(data_cfg.get("num_val_batches", 4))
+    _val_iter = make_raw_batches("validation", args.seed + 1000)
+    val_cache = [shard_batch(dict(next(_val_iter)), mesh)
+                 for _ in range(n_val_batches)]
+
+    def val_batches_factory():
+        return iter(val_cache)
+
+    sample_every = int(data_cfg.get("sample_every_steps",
+                                    max(args.steps // 5, 1)))
+    render_fn = None
 
     if "autoencoder" in target or target in ("vq_model",):
         model = instantiate_from_config(model_cfg, dtype=dtype)
         from lidar_layout_tpu.train.ae_trainer import (create_ae_state,
                                                        make_ae_optimizers,
-                                                       make_ae_train_step)
+                                                       make_ae_train_step,
+                                                       make_ae_val_step)
         lc = model_cfg["params"].get("lossconfig")
         if isinstance(lc, dict) and lc.get("target") not in (None, "torch.nn.Identity"):
             loss_cfg = instantiate_from_config(lc)
@@ -102,20 +157,42 @@ def main():
             loss_cfg = VQLossConfig()
         geo = GeoConverter(geom, curve_length=loss_cfg.curve_length)
         disc = LiDARNLayerDiscriminator()
-        tx_g, tx_d = make_ae_optimizers(lr, lr)
+        tx_g, tx_d = make_ae_optimizers(lr, lr, accumulate)
         state = create_ae_state(model, disc, jax.random.key(args.seed),
                                 (*geom.size, model.cfg.in_channels),
                                 tx_g, tx_d, loss_cfg, geo)
         step = make_ae_train_step(model, disc, loss_cfg, geo, tx_g, tx_d)
+        val_step = make_ae_val_step(model, loss_cfg, geo)
+        monitor = "val/rec_loss"
+
+        def render_fn(state, rng):  # ImageLogger: inputs + reconstructions
+            x = val_cache[0]["image"]
+            dec, _, _ = model.apply(state.params_g, x)
+            return {"inputs": x, "reconstructions": dec[..., :1]}
     else:
         model = instantiate_from_config(model_cfg, dtype=dtype)
         from lidar_layout_tpu.train.diffusion_trainer import (
-            create_train_state, make_optimizer, make_train_step)
-        tx = make_optimizer(lr)
+            create_train_state, make_optimizer, make_train_step,
+            make_val_step)
+        tx = make_optimizer(lr, accumulate=accumulate)
         params = model.init(jax.random.key(args.seed),
                             image_shape=(*geom.size, 1))
+        if getattr(model.cfg, "scale_by_std", False):
+            from lidar_layout_tpu.models.diffusion import apply_scale_by_std
+            s = apply_scale_by_std(model, params, val_cache[0]["image"])
+            print(f"scale_by_std: scale_factor={s:.4f}")
         state = create_train_state(model, params, tx)
         step = make_train_step(model, tx)
+        val_step = make_val_step(model)
+        monitor = "val/loss_simple_ema"
+
+        if hasattr(model, "decode_first_stage") and model.first_stage is not None:
+            from lidar_layout_tpu.train.diffusion_trainer import ema_params
+            from lidar_layout_tpu.train.sample_logger import lidm_log_images
+
+            def render_fn(state, rng):  # ImageLogger: the full log_images suite
+                return lidm_log_images(model, ema_params(model, state),
+                                       val_cache[0], rng)
 
     if args.resume:
         from lidar_layout_tpu.train.checkpoint import restore_checkpoint
@@ -128,11 +205,29 @@ def main():
         for b in raw_batches:
             yield shard_batch({k: v for k, v in b.items()}, mesh)
 
+    # ValidationHook must precede the writer/saver hooks: they consume the
+    # val/* metrics it merges into the step logs
+    hooks = [IterationTimer(),
+             ValidationHook(val_step, val_batches_factory,
+                            every_steps=val_every),
+             InformationWriter(),
+             CheckpointSaver(every_steps=max(args.steps // 5, 1)),
+             BestCheckpointSaver(monitor=monitor, top_k=3)]
+    if render_fn is not None:
+        from lidar_layout_tpu.train.sample_logger import SampleLogger
+        hooks.append(SampleLogger(render_fn, every_steps=sample_every))
+
     trainer = Trainer(step, state, batches(), workdir=workdir,
-                      max_steps=args.steps,
-                      hooks=[IterationTimer(), InformationWriter(),
-                             CheckpointSaver(every_steps=max(args.steps // 5, 1))],
-                      seed=args.seed)
+                      max_steps=args.steps, hooks=hooks, seed=args.seed)
+    # persist the merged config for later -r re-merge (main.py:560-568)
+    os.makedirs(workdir, exist_ok=True)
+    try:
+        import yaml
+        with open(os.path.join(workdir, "config.yaml"), "w") as f:
+            yaml.safe_dump(cfg, f)
+    except Exception as e:
+        print(f"config save skipped: {e}")
+
     trainer.train()
     print(f"done: {trainer.global_step} steps -> {workdir}")
 

@@ -26,6 +26,29 @@ class TestR2DM:
         assert enc.shape == (8, 32, 8)
         assert np.isfinite(enc).all()
 
+    def test_sh_encoding_and_attention(self):
+        """Reference-default coords_encoding='spherical_harmonics' (25 chans,
+        levels=5) + deep-level self-attention change the computation."""
+        from lidar_layout_tpu.models.r2dm import sh_coord_encoding
+        enc = np.asarray(sh_coord_encoding(8, 16, 5))
+        assert enc.shape == (8, 16, 25)
+        assert np.isfinite(enc).all()
+        # first basis fn is the constant Y00
+        assert np.allclose(enc[..., 0], enc[0, 0, 0])
+        assert enc[..., 1:].std() > 0
+
+        cfg = R2DMConfig(image_size=(8, 32), base_channels=8,
+                         channel_mult=(1, 2), num_res_blocks=(1, 2),
+                         timesteps=8, coords_encoding="spherical_harmonics",
+                         attn_levels=(1,), attn_num_heads=2)
+        model = R2DMDiffusion(cfg)
+        params = model.init(jax.random.key(0))
+        names = str(jax.tree_util.tree_structure(params))
+        assert "down_1_attn" in names and "up_1_attn" in names
+        x = jnp.zeros((1, 8, 32, 2))
+        out = model.apply_model(params, x, jnp.zeros((1,), jnp.int32))
+        assert out.shape == x.shape
+
     def test_train_loss(self):
         cfg = R2DMConfig(image_size=(16, 64), base_channels=16,
                          channel_mult=(1, 2), num_res_blocks=1, timesteps=32,
@@ -54,10 +77,15 @@ class TestVQModelGaus:
                                 method=VQModelGaus.decode_gaussians)
         assert dec.shape == (1, 16, 64, 1)
         assert gaus["rot"].shape == (1, 16, 64, 4)
+        # SH payload: 4 channels x 16 coeffs (deg 3), model_lidm.py:521-530
+        assert gaus["sh"].shape == (1, 16, 64, 4, 16)
         out = render_range_from_gaussians(dec, gaus, GEOM,
                                           RasterConfig(chunk=128))
         assert out["rendered_range"].shape == (1, 16, 64)
         assert np.isfinite(np.asarray(out["rendered_range"])).all()
+        assert out["rendered_intensity"].shape == (1, 16, 64)
+        assert out["rendered_raydrop"].shape == (1, 16, 64)
+        assert np.isfinite(np.asarray(out["rendered_feat"])).all()
 
         geo = GeoConverter(GEOM, curve_length=1)
         from lidar_layout_tpu.ops.lidar import depth_to_model
@@ -68,8 +96,8 @@ class TestVQModelGaus:
 
 class TestObjectAE:
     def test_reconstruction_trains(self):
-        cfg = ObjectAEConfig(num_points=128, latent_tokens=8, embed_dim=16,
-                             n_embed=64, width=32)
+        cfg = ObjectAEConfig(num_points=128, num_grids=144, cdw_dim=256,
+                             num_neighbors=8)
         model = VQModelObject(cfg)
         pts = jnp.asarray(np.random.default_rng(0)
                           .uniform(-1, 1, (128, 3)), jnp.float32)
@@ -88,6 +116,8 @@ class TestObjectAE:
             return optax.apply_updates(p, up), o, l
 
         l0 = float(loss_fn(params))
-        for _ in range(60):
+        for _ in range(80):
             params, opt, l = step(params, opt)
-        assert float(l) < 0.5 * l0
+        # the full-depth G2SD needs more steps than the round-1 toy AE to
+        # halve; 80 Adam steps reliably cut chamfer by >35%
+        assert float(l) < 0.65 * l0

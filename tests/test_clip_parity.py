@@ -200,3 +200,29 @@ class TestBPE:
         assert "fallback" in capsys.readouterr().out
         out = tok(["abc"])
         assert out.shape[1] == 77
+
+
+class TestBERTEmbedder:
+    def test_tokenize_and_embed(self):
+        from lidar_layout_tpu.encoders.modules import (BERTEmbedder,
+                                                       bert_tokenize)
+        toks = bert_tokenize(["a car on the road", "rainy street"], max_len=16)
+        assert toks.shape == (2, 16) and toks.dtype == np.int32
+        assert (toks[:, 0] == 101).all()          # [CLS]
+        assert (toks >= 0).all() and (toks < 30522).all()
+
+        model = BERTEmbedder(n_embed=32, n_layer=2, max_seq_len=16)
+        params = model.init(jax.random.key(0), jnp.asarray(toks))
+        z = model.apply(params, jnp.asarray(toks))
+        assert z.shape == (2, 16, 32)
+        assert np.isfinite(np.asarray(z)).all()
+
+    def test_transformer_embedder_tokens_passthrough(self):
+        from lidar_layout_tpu.encoders.modules import TransformerEmbedder
+        model = TransformerEmbedder(n_embed=32, n_layer=1, vocab_size=100,
+                                    max_seq_len=8, heads=4)
+        toks = jnp.asarray(np.random.default_rng(0).integers(0, 100, (3, 8)),
+                           jnp.int32)
+        params = model.init(jax.random.key(0), toks)
+        z = model.apply(params, toks)
+        assert z.shape == (3, 8, 32)

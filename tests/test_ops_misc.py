@@ -98,3 +98,47 @@ class TestFoldUnfold:
         x = jnp.ones((1, 8, 32, 1))
         out = patched_apply(lambda t: t * 2.0, x, patch=(8, 16), stride=(4, 8))
         np.testing.assert_allclose(np.asarray(out), 2.0, rtol=1e-5)
+
+
+class TestSphericalHarmonics:
+    def test_degree0_is_constant(self):
+        from lidar_layout_tpu.ops.sh import C0, eval_sh
+        sh = jnp.ones((5, 2, 1))
+        dirs = jnp.asarray(np.random.default_rng(0).normal(size=(5, 3)),
+                           jnp.float32)
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        out = eval_sh(0, sh, dirs)
+        np.testing.assert_allclose(np.asarray(out), C0, rtol=1e-5)
+
+    def test_degree3_matches_reference_polynomials(self):
+        """Spot-check vs the closed-form real SH at +z: only m=0 bands are
+        nonzero there, with Y_l0(z=1) = C0, C1, C2[2]*2, C3[3]*2."""
+        from lidar_layout_tpu.ops.sh import C0, C1, C2, C3, eval_sh
+        sh = jnp.zeros((1, 1, 16))
+        dirs = jnp.asarray([[0.0, 0.0, 1.0]])
+        for idx, expected in ((0, C0), (2, C1), (6, 2 * C2[2]), (12, 2 * C3[3])):
+            out = eval_sh(3, sh.at[..., idx].set(1.0), dirs)
+            np.testing.assert_allclose(float(out[0, 0]), expected, rtol=1e-5)
+
+    def test_linear_in_coefficients(self):
+        from lidar_layout_tpu.ops.sh import eval_sh
+        rng = np.random.default_rng(1)
+        a = jnp.asarray(rng.normal(size=(3, 4, 16)), jnp.float32)
+        b = jnp.asarray(rng.normal(size=(3, 4, 16)), jnp.float32)
+        dirs = jnp.asarray(rng.normal(size=(3, 3)), jnp.float32)
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        lhs = eval_sh(3, a + b, dirs)
+        rhs = eval_sh(3, a, dirs) + eval_sh(3, b, dirs)
+        np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs),
+                                   rtol=1e-4, atol=1e-5)
+
+
+class TestVisHtml:
+    def test_save_pcd_html(self, tmp_path):
+        from lidar_layout_tpu.utils.vis import save_pcd_html, save_scene_grid_html
+        pts = np.random.default_rng(0).uniform(-10, 10, (500, 3)).astype(np.float32)
+        p = save_pcd_html(str(tmp_path / "cloud.html"), pts)
+        html = open(p).read()
+        assert "<canvas" in html and "500 points" in html
+        g = save_scene_grid_html(str(tmp_path / "grid.html"), [pts, pts])
+        assert "1000 points" in open(g).read()
