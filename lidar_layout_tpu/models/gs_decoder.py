@@ -88,12 +88,23 @@ def render_surfels(surfels: Dict[str, Array], geom: LidarGeometry,
                    raster_cfg=RasterConfig()) -> Dict[str, Array]:
     """Rasterize decoder surfels -> pred_range / pred_intensity / pred_raydrop.
 
-    Pass an ``ops.gaussian_raster_tiled.BandedConfig`` as ``raster_cfg`` to use
-    the banded fast path (~4x at production scale, equivalent output)."""
+    ``raster_cfg`` picks the implementation:
+      - ``ops.gaussian_raster.SurfelConfig`` — exact ray-disc intersection
+        (the reference ``diff_lidargs_surfel_rasterization`` semantics,
+        true per-ray depths);
+      - ``ops.gaussian_raster_tiled.BandedConfig`` — banded fast path
+        (~4x at production scale, flattened-3D approximation);
+      - ``RasterConfig`` (default) — dense flattened-3D approximation."""
     feats = jnp.concatenate([surfels["color"],
                              surfels["raydrop"][:, None]], axis=-1)
+    from ..ops.gaussian_raster import SurfelConfig, rasterize_surfels
     from ..ops.gaussian_raster_tiled import BandedConfig, rasterize_banded
-    impl = rasterize_banded if isinstance(raster_cfg, BandedConfig) else rasterize
+    if isinstance(raster_cfg, SurfelConfig):
+        impl = rasterize_surfels
+    elif isinstance(raster_cfg, BandedConfig):
+        impl = rasterize_banded
+    else:
+        impl = rasterize
     out = impl(surfels["means"], surfels["quats"], surfels["scales"],
                surfels["opacities"], feats, geom, mask=surfels["mask"],
                cfg=raster_cfg)

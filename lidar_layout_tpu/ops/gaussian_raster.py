@@ -20,9 +20,12 @@ Design (TPU-first, no dynamic shapes):
     covariance is J Sigma J^T with J the Jacobian of (phi, theta) at the mean
     (the classic EWA splatting recipe adapted to the panoramic camera).
 
-Known deviation: the surfel variant is rendered as a flattened 3D Gaussian
-(min-axis scale ~ 0), not an exact ray-disc intersection; range/raydrop
-supervision behaves equivalently for the losses used by the reference.
+The surfel variant (``rasterize_surfels``) is an exact ray-disc intersection
+(2DGS-style): each ray is intersected with the surfel plane, the Gaussian is
+evaluated in the surfel's own tangent frame, and the composited depth is the
+true per-ray hit distance — matching the reference CUDA
+``diff_lidargs_surfel_rasterization`` semantics. ``rasterize`` keeps the
+flattened-3D-Gaussian approximation as the cheap path.
 """
 from __future__ import annotations
 
@@ -200,6 +203,162 @@ def rasterize(means: Array, quats: Array, scales: Array, opacities: Array,
     a0 = jnp.zeros((h * w,), jnp.float32)
     (T, acc_feat, acc_depth, acc_alpha), _ = jax.lax.scan(
         body, (T0, f0, d0, a0), (uc, vc, dc, ic, oc, fc))
+
+    return {
+        "feature": acc_feat.reshape(h, w, f_dim),
+        "alpha": acc_alpha.reshape(h, w),
+        "depth": acc_depth.reshape(h, w),
+        "transmittance": T.reshape(h, w),
+    }
+
+
+@dataclasses.dataclass(frozen=True)
+class SurfelConfig:
+    """Config for the exact ray-disc surfel rasterizer."""
+    chunk: int = 256            # surfels composited per scan step
+    alpha_thresh: float = 1.0 / 255.0
+    max_alpha: float = 0.99
+    cutoff_sigma2: float = 9.0  # 3-sigma support cutoff (tangent-frame units)
+    filter_sigma_px: float = 0.7071  # 2DGS low-pass: screen-space sigma (px)
+    z_near: float = 1e-2
+
+
+def pixel_ray_directions(geom: LidarGeometry) -> Array:
+    """(H*W, 3) unit ray directions through every pixel center — the exact
+    inverse of ``spherical_project``'s pixel mapping."""
+    h, w = geom.size
+    px = jnp.arange(w, dtype=jnp.float32) + 0.5
+    py = jnp.arange(h, dtype=jnp.float32) + 0.5
+    yaw = (2.0 * px / w - 1.0) * jnp.pi          # u = (yaw/pi + 1) * w/2
+    pitch = (1.0 - py / h) * geom.fov_range - abs(geom.fov_down)
+    az = -yaw                                     # yaw = -atan2(y, x)
+    cp = jnp.cos(pitch)[:, None]
+    d = jnp.stack([
+        jnp.broadcast_to(cp * jnp.cos(az)[None, :], (h, w)),
+        jnp.broadcast_to(cp * jnp.sin(az)[None, :], (h, w)),
+        jnp.broadcast_to(jnp.sin(pitch)[:, None], (h, w)),
+    ], axis=-1)
+    return d.reshape(h * w, 3)
+
+
+def rasterize_surfels(means: Array, quats: Array, scales: Array,
+                      opacities: Array, features: Array, geom: LidarGeometry,
+                      mask: Optional[Array] = None,
+                      cfg: SurfelConfig = SurfelConfig()) -> Dict[str, Array]:
+    """Exact ray-disc surfel rasterization (the reference's
+    ``diff_lidargs_surfel_rasterization``, SURVEY §2.8 N2; 2DGS recipe).
+
+    Each surfel is a Gaussian-weighted disc: tangent axes = first two columns
+    of the quat rotation scaled by ``scales[:, :2]``, normal = third column.
+    For every (ray, surfel) pair the ray is intersected with the disc plane;
+    the Gaussian is evaluated at the hit point in the surfel's tangent frame
+    and composited front-to-back at the TRUE per-ray depth (not the center
+    depth). A screen-space low-pass floor (2DGS eq. 11: min of the object- and
+    image-space distances) keeps sub-pixel surfels visible and the gradients
+    alive.
+
+    Tile math is three (P,3)x(3,K) contractions + elementwise — the same
+    fixed-shape scan-over-chunks skeleton as ``rasterize``, fully fused by XLA.
+
+    Args/returns match ``rasterize`` (scales' third component is ignored).
+    """
+    h, w = geom.size
+    n, f_dim = features.shape
+
+    uc_, vc_, center_depth = spherical_project(means, geom)
+    valid = center_depth > cfg.z_near
+    if mask is not None:
+        valid = valid & mask
+
+    R = quat_to_rotmat(quats)                    # (N,3,3) columns = axes
+    s_u = jnp.maximum(scales[:, 0], 1e-6)
+    s_v = jnp.maximum(scales[:, 1], 1e-6)
+    a_u = R[:, :, 0] / s_u[:, None]              # (N,3) tangent / scale
+    a_v = R[:, :, 1] / s_v[:, None]
+    nrm = R[:, :, 2]                             # (N,3) unit normal
+    pu = jnp.einsum("ni,ni->n", means, a_u)
+    pv = jnp.einsum("ni,ni->n", means, a_v)
+    pn = jnp.einsum("ni,ni->n", means, nrm)
+
+    # front-to-back by center depth (the CUDA sorts by view-space center z)
+    order = jnp.argsort(jnp.where(valid, center_depth, jnp.inf))
+    a_u, a_v, nrm = a_u[order], a_v[order], nrm[order]
+    pu, pv, pn = pu[order], pv[order], pn[order]
+    ucen, vcen, cdep = uc_[order], vc_[order], center_depth[order]
+    op = jnp.where(valid, opacities, 0.0)[order]
+    feat = features[order]
+
+    rays = pixel_ray_directions(geom)            # (P,3)
+    px = (jnp.arange(w, dtype=jnp.float32) + 0.5)
+    py = (jnp.arange(h, dtype=jnp.float32) + 0.5)
+    pxg, pyg = jnp.meshgrid(px, py)
+    pxf = pxg.reshape(-1)
+    pyf = pyg.reshape(-1)
+
+    n_chunks = -(-n // cfg.chunk)
+    pad = n_chunks * cfg.chunk - n
+
+    def pad0(x):
+        return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+
+    def chunked(x):
+        return pad0(x).reshape(n_chunks, cfg.chunk, *x.shape[1:])
+
+    inputs = (chunked(a_u), chunked(a_v), chunked(nrm), chunked(pu),
+              chunked(pv), chunked(pn), chunked(ucen), chunked(vcen),
+              chunked(cdep), chunked(op), chunked(feat))
+
+    inv_filt2 = 1.0 / (cfg.filter_sigma_px ** 2)
+
+    def body(carry, inp):
+        T, acc_feat, acc_depth, acc_alpha = carry
+        cau, cav, cn, cpu_, cpv, cpn, cuc, cvc, ccd, cop, cfeat = inp
+
+        dn = jnp.dot(rays, cn.T, preferred_element_type=jnp.float32)   # (P,K)
+        du = jnp.dot(rays, cau.T, preferred_element_type=jnp.float32)
+        dv = jnp.dot(rays, cav.T, preferred_element_type=jnp.float32)
+
+        safe_dn = jnp.where(jnp.abs(dn) < 1e-8,
+                            jnp.where(dn < 0, -1e-8, 1e-8), dn)
+        z = cpn[None, :] / safe_dn                                      # (P,K)
+        hit = z > cfg.z_near
+        uu = z * du - cpu_[None, :]
+        vv = z * dv - cpv[None, :]
+        rho3d = jnp.where(hit, uu * uu + vv * vv, jnp.inf)
+
+        # screen-space low-pass floor (periodic azimuth wrap)
+        dx = pxf[:, None] - cuc[None, :]
+        dx = dx - w * jnp.round(dx / w)
+        dy = pyf[:, None] - cvc[None, :]
+        rho2d = (dx * dx + dy * dy) * inv_filt2
+
+        rho = jnp.minimum(rho3d, rho2d)
+        g = jnp.exp(-0.5 * jnp.minimum(rho, 87.0))
+        alpha = jnp.minimum(cop[None, :] * g, cfg.max_alpha)
+        alpha = jnp.where(rho > cfg.cutoff_sigma2, 0.0, alpha)
+        alpha = jnp.where(alpha < cfg.alpha_thresh, 0.0, alpha)
+
+        # true hit depth where the plane intersection is valid; center depth
+        # where only the low-pass floor fires
+        zdep = jnp.where(hit & (rho3d <= rho2d), z, ccd[None, :])
+
+        one_minus = 1.0 - alpha
+        trans_in = jnp.cumprod(one_minus, axis=1) / jnp.maximum(one_minus, 1e-8)
+        wgt = alpha * trans_in * T[:, None]                             # (P,K)
+
+        acc_feat = acc_feat + jnp.dot(wgt, cfeat,
+                                      preferred_element_type=jnp.float32)
+        acc_depth = acc_depth + jnp.sum(wgt * zdep, axis=1)
+        acc_alpha = acc_alpha + wgt.sum(axis=1)
+        T = T * jnp.prod(one_minus, axis=1)
+        return (T, acc_feat, acc_depth, acc_alpha), None
+
+    T0 = jnp.ones((h * w,), jnp.float32)
+    f0 = jnp.zeros((h * w, f_dim), jnp.float32)
+    d0 = jnp.zeros((h * w,), jnp.float32)
+    a0 = jnp.zeros((h * w,), jnp.float32)
+    (T, acc_feat, acc_depth, acc_alpha), _ = jax.lax.scan(
+        body, (T0, f0, d0, a0), inputs)
 
     return {
         "feature": acc_feat.reshape(h, w, f_dim),
