@@ -60,6 +60,47 @@ def restore_checkpoint(ckpt_dir: str, target: Any, step: Optional[int] = None
     return out
 
 
+def load_first_stage_params(path: str, template: Dict) -> Dict:
+    """First-stage ``ckpt_path`` injection (ddpm.py instantiate_first_stage +
+    configs/lidar_diffusion/kitti/uncond_c2_p4.yaml:33): load trained AE
+    weights into a LatentDiffusion's ``params['first_stage']`` slot.
+
+    Accepts, in order of probing:
+      - a torch ``.ckpt``/``.pt`` file (the reference's published AE
+        checkpoints) -> converted via utils.torch_convert;
+      - an AE training workdir (contains ``ckpt/``) or the ckpt dir itself ->
+        orbax raw restore, extracting ``params_g`` (AETrainState field).
+    The restored tree must match ``template``'s structure.
+    """
+    if os.path.isfile(path) and path.endswith((".ckpt", ".pt", ".pth")):
+        from ..utils.torch_convert import (convert_vq_autoencoder,
+                                           load_torch_state_dict, merge_into)
+        return merge_into(template, convert_vq_autoencoder(
+            load_torch_state_dict(path)))
+
+    ckpt_dir = path
+    if os.path.isdir(os.path.join(path, "ckpt")):
+        ckpt_dir = os.path.join(path, "ckpt")
+    import orbax.checkpoint as ocp
+
+    mgr = _mgr(ckpt_dir)
+    step = mgr.latest_step()
+    if step is None:
+        mgr.close()
+        raise FileNotFoundError(f"no AE checkpoint under {ckpt_dir}")
+    raw = mgr.restore(step)  # raw pytree (no target): nested dict of arrays
+    mgr.close()
+    sub = raw.get("params_g", raw.get("params", raw))
+    tdef = jax.tree_util.tree_structure(template)
+    rdef = jax.tree_util.tree_structure(sub)
+    if tdef != rdef:
+        raise ValueError(
+            f"first-stage checkpoint at {path} does not match the configured "
+            f"AE architecture (tree structures differ)")
+    return jax.tree.map(lambda t, r: np.asarray(r, dtype=t.dtype),
+                        template, sub)
+
+
 def load_params_with_ignore(params: Dict, restored: Dict,
                             ignore_keys: List[str]) -> Dict:
     """Partial load: keep init values for subtrees whose dotted path starts

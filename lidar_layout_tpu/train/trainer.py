@@ -217,7 +217,23 @@ class Trainer:
         for h in self.hooks:
             getattr(h, name)(*a)
 
+    def _melk(self, *_):
+        """Emergency checkpoint — the reference's melk() (main.py:729-754):
+        registered on SIGUSR1 (save and keep training) and called on any
+        training exception / interrupt before re-raising."""
+        print("melk: saving emergency checkpoint", flush=True)
+        from .checkpoint import save_checkpoint
+        save_checkpoint(os.path.join(self.workdir, "ckpt_interrupt"),
+                        self.global_step, self.state)
+
     def train(self):
+        import signal
+
+        prev_usr1 = None
+        try:  # signal only works in the main thread; optional elsewhere
+            prev_usr1 = signal.signal(signal.SIGUSR1, self._melk)
+        except (ValueError, AttributeError):
+            pass
         self._call("before_train")
         try:
             while self.global_step < self.max_steps:
@@ -227,12 +243,11 @@ class Trainer:
                 self.state, logs = self.step_fn(self.state, batch, sub)
                 self.global_step += 1
                 self._call("after_step", logs)
-        except KeyboardInterrupt:
-            # melk(): emergency checkpoint on interrupt (main.py:729-754)
-            print("interrupted — saving emergency checkpoint", flush=True)
-            from .checkpoint import save_checkpoint
-            save_checkpoint(os.path.join(self.workdir, "ckpt_interrupt"),
-                            self.global_step, self.state)
+        except (KeyboardInterrupt, Exception):
+            self._melk()
             raise
+        finally:
+            if prev_usr1 is not None:
+                signal.signal(signal.SIGUSR1, prev_usr1)
         self._call("after_train")
         return self.state

@@ -177,6 +177,15 @@ def main():
         tx = make_optimizer(lr, accumulate=accumulate)
         params = model.init(jax.random.key(args.seed),
                             image_shape=(*geom.size, 1))
+        fsc = model_cfg["params"].get("first_stage_config")
+        fs_ckpt = (fsc or {}).get("params", {}).get("ckpt_path") \
+            if isinstance(fsc, dict) else None
+        if fs_ckpt and model.first_stage is not None:
+            from lidar_layout_tpu.train.checkpoint import \
+                load_first_stage_params
+            params["first_stage"] = load_first_stage_params(
+                fs_ckpt, params["first_stage"])
+            print(f"first_stage weights <- {fs_ckpt}")
         if getattr(model.cfg, "scale_by_std", False):
             from lidar_layout_tpu.models.diffusion import apply_scale_by_std
             s = apply_scale_by_std(model, params, val_cache[0]["image"])
