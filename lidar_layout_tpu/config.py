@@ -452,3 +452,33 @@ def load_yaml(path: str) -> Dict[str, Any]:
 
     with open(path) as f:
         return yaml.safe_load(f)
+
+
+def apply_dotlist(cfg: Dict[str, Any], overrides) -> Dict[str, Any]:
+    """CLI dotlist overrides merged last (main.py:537-539 OmegaConf
+    ``from_dotlist``): each item is ``a.b.c=value`` with the value parsed as
+    YAML (so ``lr=1e-4``, ``flag=true``, ``mult=[1,2]`` all type correctly).
+    Intermediate dicts are created as needed; mutates and returns ``cfg``."""
+    import yaml
+
+    for item in overrides or []:
+        if "=" not in item:
+            raise ValueError(f"dotlist override '{item}' must be key=value")
+        key, _, raw = item.partition("=")
+        val = yaml.safe_load(raw)
+        if isinstance(val, str):
+            # YAML 1.1 won't float bare scientific notation like "2e-3"
+            try:
+                val = float(val)
+            except ValueError:
+                pass
+        node = cfg
+        parts = key.strip().split(".")
+        for part in parts[:-1]:
+            nxt = node.get(part)
+            if not isinstance(nxt, dict):
+                nxt = {}
+                node[part] = nxt
+            node = nxt
+        node[parts[-1]] = val
+    return cfg

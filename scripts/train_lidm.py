@@ -29,7 +29,13 @@ def parse_args():
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (fast local smoke runs)")
     p.add_argument("--bf16", action="store_true")
-    return p.parse_args()
+    # trailing a.b.c=value items = dotlist overrides (main.py:537-539)
+    args, unknown = p.parse_known_args()
+    bad = [u for u in unknown if "=" not in u]
+    if bad:
+        p.error(f"unrecognized arguments: {' '.join(bad)}")
+    args.overrides = unknown
+    return args
 
 
 def main():
@@ -72,6 +78,10 @@ def main():
             merge(base_cfg, cfg)
             cfg = base_cfg
             print(f"re-merged config from {saved}")
+    if args.overrides:
+        from lidar_layout_tpu.config import apply_dotlist
+        apply_dotlist(cfg, args.overrides)
+        print(f"dotlist overrides: {args.overrides}")
     model_cfg = cfg["model"]
     data_cfg = cfg.get("data", {}).get("params", {})
     dset_cfg = data_cfg.get("dataset", {})

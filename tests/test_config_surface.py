@@ -292,3 +292,25 @@ class TestTinyTrainAndSample:
         params = model.init(jax.random.key(0), x)
         out = model.apply(params, x)
         assert len(out) >= 3  # dec, qloss, ind (+ gaussians)
+
+
+def test_apply_dotlist_overrides():
+    """CLI dotlist merge (main.py:537-539): typed YAML values, deep paths."""
+    from lidar_layout_tpu.config import apply_dotlist
+
+    cfg = {"model": {"base_learning_rate": 1e-4,
+                     "params": {"timesteps": 64}}}
+    apply_dotlist(cfg, ["model.base_learning_rate=2e-3",
+                        "model.params.timesteps=128",
+                        "model.params.channel_mult=[1,2,4]",
+                        "data.params.batch_size=8",
+                        "model.params.use_ema=true"])
+    assert cfg["model"]["base_learning_rate"] == 2e-3
+    assert cfg["model"]["params"]["timesteps"] == 128
+    assert cfg["model"]["params"]["channel_mult"] == [1, 2, 4]
+    assert cfg["data"]["params"]["batch_size"] == 8  # created path
+    assert cfg["model"]["params"]["use_ema"] is True
+
+    import pytest
+    with pytest.raises(ValueError):
+        apply_dotlist(cfg, ["notakeyvalue"])
