@@ -99,9 +99,19 @@ def main():
 
     # ---- compile + measure ----
     sample = make_sample(batch)
-    lowered = sample.lower(params, rng)
-    compiled = lowered.compile()
-    flops = _flops_of(compiled)
+
+    # FLOPs: cost_analysis undercounts lax.scan bodies (counted once, not
+    # x length), so lower the unrolled pieces: one denoiser apply x steps
+    # + one decode. (measured r2: 37.4T "program flops" vs ~640T actual.)
+    t0_ = jnp.zeros((batch,), jnp.int32)
+    z0_ = jnp.zeros((batch, h, w, c), jnp.bfloat16)
+    unet_flops = _flops_of(
+        jax.jit(lambda p, z, t: model.apply_model(p, z, t, None))
+        .lower(params, z0_, t0_).compile())
+    dec_flops = _flops_of(
+        jax.jit(lambda p, z: model.decode_first_stage(p, z))
+        .lower(params, z0_).compile())
+    flops = unet_flops * steps + dec_flops
 
     _ = float(sample(params, rng))  # warmup/execute once
     dt = _timeit(sample, params, rng)

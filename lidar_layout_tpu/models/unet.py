@@ -155,7 +155,8 @@ class SelfAttentionBlock(nn.Module):
         q = q.reshape(b, h * w, self.num_heads, dim_head)
         k = k.reshape(b, h * w, self.num_heads, dim_head)
         v = v.reshape(b, h * w, self.num_heads, dim_head)
-        out = jax.nn.dot_product_attention(q, k, v).reshape(b, h * w, c)
+        from ..ops.pallas_attention import attend
+        out = attend(q, k, v).reshape(b, h * w, c)
         out = nn.Dense(c, kernel_init=nn.initializers.zeros, dtype=self.dtype,
                        name="proj_out")(out)
         return x + out.reshape(b, h, w, c)

@@ -76,7 +76,8 @@ class CrossAttention(nn.Module):
             # mask: (B, S) True = attend; broadcast to (B, 1, 1, S)
             attn_mask = mask[:, None, None, :]
 
-        out = jax.nn.dot_product_attention(q, k, v, mask=attn_mask)
+        from ..ops.pallas_attention import attend
+        out = attend(q, k, v, mask=attn_mask)
         out = out.reshape(b, n, inner)
         out = nn.Dense(dim, dtype=self.dtype, name="to_out")(out)
         return nn.Dropout(self.dropout, deterministic=deterministic)(out)

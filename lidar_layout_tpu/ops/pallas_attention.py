@@ -1,0 +1,141 @@
+"""VMEM-resident self-attention kernel for the diffusion U-Net (Pallas/TPU).
+
+Why this exists: ``jax.nn.dot_product_attention``'s XLA path materializes the
+f32 logits tensor in HBM — at the flagship's full-res attention
+(B=128, H=8, S=2048) that is a 16 GB round trip per layer, which measured out
+at ~1.4% MFU for the 50-step DDIM sampler (BENCH r2 phase split). This kernel
+keeps the whole softmax(QK^T)V block pipeline in VMEM.
+
+Design (TPU-first):
+  * **D-major layout**: blocks are carried as (D, S) — the last (lane) dim is
+    the sequence, always a multiple of 128; the tiny head dim (32) sits in
+    sublanes. No zero-padding of D to 128 lanes => no 4x wasted matmul FLOPs
+    and no garbage-lane risk (CLAUDE.md: Mosaic blocks with last dim < 128).
+  * **Chunked softmax, full-K**: K/V for one (batch, head) fit comfortably in
+    VMEM (S<=2048, D<=64 => <=512 KB), so each grid step computes one
+    (BQ, S) logits tile, softmaxes it in f32, and contracts with V — no
+    online-softmax carry needed. Grid = (B*H, S/BQ); Mosaic skips the K/V
+    re-DMA while the (bh) index is unchanged.
+  * Backward (training) recomputes attention with the plain XLA formula via
+    ``jax.vjp`` — memory-safe at training batch sizes; sampling (the hot
+    path) never differentiates.
+
+Replaces the fused-attention role of the reference's flash-attn dependency
+(SURVEY §2.8 ext) and feeds ``models/unet.AttnBlock`` / ``nn.attention``.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def _attend_ref(q: Array, k: Array, v: Array) -> Array:
+    """Reference BHSD attention in plain jnp (f32 softmax)."""
+    scale = q.shape[-1] ** -0.5
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def _kernel(qt_ref, kt_ref, vt_ref, ot_ref):
+    """One (bh, q-block) step: qt (1,D,BQ), kt/vt (1,D,S) -> ot (1,D,BQ)."""
+    qt = qt_ref[0]                     # (D, BQ) — already scaled by D^-0.5
+    kt = kt_ref[0]                     # (D, S)
+    # logits (BQ, S): contract the D (sublane) dim of both operands
+    s = jax.lax.dot_general(qt, kt, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    # out^T (D, BQ) = V^T (D, S) @ P^T (S, BQ): contract S dims
+    ot = jax.lax.dot_general(vt_ref[0], p.astype(vt_ref.dtype),
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ot_ref[0] = ot.astype(ot_ref.dtype)
+
+
+def _flash_fwd_tpu(q: Array, k: Array, v: Array,
+                   interpret: bool = False) -> Array:
+    """(B,H,S,D) self-attention via the Pallas kernel."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, s, d = q.shape
+    bq = min(256, s)
+    scale = d ** -0.5
+    # D-major: (BH, D, S)
+    qt = (q * scale).reshape(b * h, s, d).swapaxes(1, 2)
+    kt = k.reshape(b * h, s, d).swapaxes(1, 2)
+    vt = v.reshape(b * h, s, d).swapaxes(1, 2)
+
+    grid = (b * h, s // bq)
+    out_t = pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((b * h, d, s), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, d, bq), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, d, s), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, d, s), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, d, bq), lambda i, j: (i, 0, j)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * s * s * d,
+            bytes_accessed=(3 * b * h * s * d + b * h * s * d)
+            * q.dtype.itemsize,
+            transcendentals=b * h * s * s),
+        interpret=interpret,
+    )(qt, kt, vt)
+    return out_t.swapaxes(1, 2).reshape(b, h, s, d)
+
+
+@jax.custom_vjp
+def flash_attention(q: Array, k: Array, v: Array) -> Array:
+    """Fused self-attention, (B, H, S, D) -> (B, H, S, D).
+
+    Constraints for the TPU kernel: S_q == S_kv, S % 128 == 0, D <= 128.
+    Off-TPU (tests) it falls back to the reference jnp formula.
+    """
+    if jax.default_backend() == "tpu":
+        return _flash_fwd_tpu(q, k, v)
+    return _attend_ref(q, k, v)
+
+
+def _fwd(q, k, v):
+    return flash_attention(q, k, v), (q, k, v)
+
+
+def _bwd(res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(_attend_ref, q, k, v)
+    return vjp(g)
+
+
+flash_attention.defvjp(_fwd, _bwd)
+
+
+def _supports_flash(q: Array, k: Array, mask) -> bool:
+    return (mask is None and q.shape[-3] == k.shape[-3]
+            and q.shape[-3] % 128 == 0 and q.shape[-1] <= 128
+            and q.shape[-1] % 8 == 0)
+
+
+def attend(q: Array, k: Array, v: Array, mask: Optional[Array] = None
+           ) -> Array:
+    """Drop-in for ``jax.nn.dot_product_attention`` with BSHD layout:
+    routes self-attention-shaped inputs through the Pallas kernel on TPU,
+    everything else (masked / cross-length / ragged-D) through XLA."""
+    if _supports_flash(q, k, mask):
+        out = flash_attention(q.swapaxes(1, 2), k.swapaxes(1, 2),
+                              v.swapaxes(1, 2))
+        return out.swapaxes(1, 2)
+    return jax.nn.dot_product_attention(q, k, v, mask=mask)
