@@ -11,6 +11,11 @@ Axes:
   fsdp  optional parameter sharding axis (ZeRO-style); folded into dp when
         unused, so a 1-axis mesh is the common case (the reference has no
         TP/PP — its models are ~100-400M params, DP(+FSDP) is the right design).
+  sp    optional spatial/sequence parallel axis: shards the 1024-wide azimuth
+        (W) dimension of the panoramic range image. GSPMD partitions the
+        convolutions spatially and turns the circular wrap-pad into the 1-ring
+        collective-permute SURVEY §5 calls out as the one context-parallel
+        need — no manual halo code.
 """
 from __future__ import annotations
 
@@ -25,11 +30,15 @@ Array = jax.Array
 
 
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
-              fsdp: int = 1) -> Mesh:
-    """1- or 2-axis mesh over the given (default: all) devices."""
+              fsdp: int = 1, sp: int = 1) -> Mesh:
+    """Mesh over the given (default: all) devices: (dp, fsdp[, sp])."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
-    assert n % fsdp == 0, f"{n} devices not divisible by fsdp={fsdp}"
+    assert n % (fsdp * sp) == 0, \
+        f"{n} devices not divisible by fsdp={fsdp} * sp={sp}"
+    if sp > 1:
+        arr = np.asarray(devices).reshape(n // (fsdp * sp), fsdp, sp)
+        return Mesh(arr, ("dp", "fsdp", "sp"))
     arr = np.asarray(devices).reshape(n // fsdp, fsdp)
     return Mesh(arr, ("dp", "fsdp"))
 
@@ -75,6 +84,16 @@ def fsdp_param_sharding(mesh: Mesh, params: Any) -> Any:
         return NamedSharding(mesh, P(*parts))
 
     return jax.tree.map(spec, params)
+
+
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """NHWC images with the azimuth (W) axis sharded over 'sp' (+ batch over
+    dp/fsdp). GSPMD emits the circular-conv halo exchange as ppermute."""
+    batch_axes = ("dp", "fsdp") if "fsdp" in mesh.axis_names \
+        and mesh.shape["fsdp"] > 1 else ("dp",)
+    if "sp" not in mesh.axis_names or mesh.shape["sp"] == 1:
+        return NamedSharding(mesh, P(batch_axes))
+    return NamedSharding(mesh, P(batch_axes, None, "sp", None))
 
 
 def local_batch_slice(global_batch: int) -> slice:

@@ -1,0 +1,67 @@
+"""Spatial (sequence) parallelism over the panoramic azimuth axis.
+
+SURVEY §5: the only context-parallel-like need in this framework is the
+circular-conv halo exchange when the 1024-wide scan axis is sharded.
+These tests shard W over an 'sp' mesh axis and check GSPMD reproduces the
+unsharded numerics bit-close (the wrap-pad becomes a ring permute)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lidar_layout_tpu.models.autoencoder import AEConfig, VQModel
+from lidar_layout_tpu.parallel.mesh import (make_mesh, replicate,
+                                            spatial_sharding)
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs the 8-device CPU mesh")
+
+CFG = AEConfig(ch=16, ch_mult=(1, 2, 2, 4), strides=((1, 2), (2, 2), (2, 2)),
+               z_channels=8, out_ch=2, num_res_blocks=1)
+
+
+def _setup():
+    ae = VQModel(CFG, n_embed=128, embed_dim=8, use_mask=True)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 16, 128, 1)),
+                    jnp.float32)
+    params = ae.init(jax.random.key(0), x)
+    return ae, params, x
+
+
+def test_mesh_axes_and_sharding_spec():
+    mesh = make_mesh(jax.devices()[:8], fsdp=1, sp=4)
+    assert dict(mesh.shape) == {"dp": 2, "fsdp": 1, "sp": 4}
+    sh = spatial_sharding(mesh)
+    assert sh.spec == jax.sharding.PartitionSpec(("dp",), None, "sp", None)
+    # sp=1 mesh degrades to plain batch sharding
+    mesh1 = make_mesh(jax.devices()[:8], fsdp=2)
+    assert spatial_sharding(mesh1).spec == \
+        jax.sharding.PartitionSpec(("dp", "fsdp"))
+
+
+def test_w_sharded_encoder_matches_unsharded():
+    ae, params, x = _setup()
+    ref = ae.apply(params, x, method=lambda m, v: m.encode_to_prequant(v))
+    mesh = make_mesh(jax.devices()[:8], fsdp=1, sp=4)
+    xs = jax.device_put(x, spatial_sharding(mesh))
+    ps = replicate(params, mesh)
+    enc = jax.jit(
+        lambda p, v: ae.apply(p, v, method=lambda m, t: m.encode_to_prequant(t)))
+    with mesh:
+        out = enc(ps, xs)
+    # the latent stays W-sharded (no silent full re-gather)
+    assert "sp" in str(out.sharding.spec)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_w_sharded_full_vqgan_roundtrip():
+    ae, params, x = _setup()
+    dec_ref, _, _ = ae.apply(params, x)
+    mesh = make_mesh(jax.devices()[:8], fsdp=1, sp=4)
+    xs = jax.device_put(x, spatial_sharding(mesh))
+    ps = replicate(params, mesh)
+    with mesh:
+        dec, _, _ = jax.jit(lambda p, v: ae.apply(p, v))(ps, xs)
+    np.testing.assert_allclose(np.asarray(dec), np.asarray(dec_ref),
+                               atol=1e-4, rtol=1e-4)
