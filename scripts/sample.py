@@ -27,6 +27,10 @@ def parse_args():
     p.add_argument("--eta", type=float, default=0.0)
     p.add_argument("--sampler", default="ddim", choices=["ddim", "plms", "ddpm"])
     p.add_argument("--eval", action="store_true")
+    p.add_argument("-f", "--file", default=None,
+                   help="pre-generated samples (.npz of pcd_* clouds or "
+                        ".npy of range images) — evaluate these instead of "
+                        "sampling (the reference's --baseline flow)")
     p.add_argument("--metrics", default="jsd,mmd,frid",
                    help="comma list: jsd,mmd,cd,emd,frid,fsvd,fpvd")
     p.add_argument("--data-root", default=None,
@@ -64,6 +68,25 @@ def main():
             log_scale=dset_cfg.get("log_scale", True))
     else:
         geom = KITTI_GEOMETRY if args.dataset == "64" else NUSCENES_GEOMETRY
+
+    if args.file:
+        # eval-only on pre-generated samples (reference sample.py:227-250,
+        # 393-396: baselines / other methods' outputs)
+        all_pcds = []
+        if args.file.endswith(".npz"):
+            data = np.load(args.file)
+            all_pcds = [np.asarray(data[k], np.float32)
+                        for k in sorted(data.files)]
+        elif args.file.endswith(".npy"):
+            for img in np.load(args.file)[..., 0]:
+                xyz, valid = range2pcd(jnp.asarray(img), geom)
+                all_pcds.append(np.asarray(xyz)[np.asarray(valid)])
+        else:
+            raise SystemExit(f"unsupported sample file {args.file!r} "
+                             "(.npz of clouds or .npy of range images)")
+        print(f"loaded {len(all_pcds)} pre-generated samples from {args.file}")
+        _evaluate(args, all_pcds)
+        return
 
     params = model.init(jax.random.key(0), image_shape=(*geom.size, 1))
     if args.resume:
@@ -115,48 +138,57 @@ def main():
     print(f"wrote {len(imgs)} samples to {args.outdir}")
 
     if args.eval:
-        # the reference's quality gate (lidm/eval/eval_utils.py evaluate):
-        # score samples against REAL held-out scans, with perceptual FRID/
-        # FSVD/FPVD features from the frozen extractor registry.
-        from lidar_layout_tpu.eval.metrics import evaluate
-        metrics = [m.strip() for m in args.metrics.split(",") if m.strip()]
+        _evaluate(args, all_pcds)
 
-        ref = []
-        if args.data_root and os.path.isdir(args.data_root):
-            from lidar_layout_tpu.data.datasets import (
-                list_kitti360_scans, list_semantic_kitti_scans,
-                read_velodyne_bin)
-            from lidar_layout_tpu.data.readers import (list_nuscenes_sweeps,
-                                                       read_nuscenes_bin)
-            files = (list_kitti360_scans(args.data_root, "val")
-                     or list_semantic_kitti_scans(args.data_root, "val"))
-            reader = lambda f: read_velodyne_bin(f)[:, :3]
-            if not files:
-                files = list_nuscenes_sweeps(args.data_root, "val", "samples")
-                reader = lambda f: read_nuscenes_bin(f)[:, :3]
-            for f in files[: len(all_pcds)]:
-                ref.append(reader(f))
-        if not ref:
-            from lidar_layout_tpu.data.synthetic import synthetic_scene
-            print("[eval] no --data-root scans found — synthetic reference "
-                  "set (relative comparisons only, NOT the published tables)")
-            ref = [synthetic_scene(np.random.default_rng(i))
-                   for i in range(len(all_pcds))]
 
-        feature_fn = {}
-        modalities = {"frid": "range", "fsvd": "voxel", "fpvd": "point_voxel"}
-        for m in metrics:
-            if m in modalities:
-                from lidar_layout_tpu.eval.registry import build_feature_fn
-                feature_fn[m] = build_feature_fn(
-                    args.dataset, modalities[m],
-                    weights_root=args.weights_root)
+def _evaluate(args, all_pcds):
+    """The reference's quality gate (lidm/eval/eval_utils.py evaluate):
+    score samples against REAL held-out scans, with perceptual FRID/
+    FSVD/FPVD features from the frozen extractor registry."""
+    import json
+    import os
 
-        out = evaluate(ref, all_pcds, metrics, args.dataset,
-                       feature_fn=feature_fn)
-        print(json.dumps(out))
-        with open(os.path.join(args.outdir, "eval.json"), "w") as f:
-            json.dump(out, f, indent=2)
+    import numpy as np
+
+    from lidar_layout_tpu.eval.metrics import evaluate
+    metrics = [m.strip() for m in args.metrics.split(",") if m.strip()]
+
+    ref = []
+    if args.data_root and os.path.isdir(args.data_root):
+        from lidar_layout_tpu.data.datasets import (list_kitti360_scans,
+                                                    list_semantic_kitti_scans,
+                                                    read_velodyne_bin)
+        from lidar_layout_tpu.data.readers import (list_nuscenes_sweeps,
+                                                   read_nuscenes_bin)
+        files = (list_kitti360_scans(args.data_root, "val")
+                 or list_semantic_kitti_scans(args.data_root, "val"))
+        reader = lambda f: read_velodyne_bin(f)[:, :3]
+        if not files:
+            files = list_nuscenes_sweeps(args.data_root, "val", "samples")
+            reader = lambda f: read_nuscenes_bin(f)[:, :3]
+        for f in files[: len(all_pcds)]:
+            ref.append(reader(f))
+    if not ref:
+        from lidar_layout_tpu.data.synthetic import synthetic_scene
+        print("[eval] no --data-root scans found — synthetic reference "
+              "set (relative comparisons only, NOT the published tables)")
+        ref = [synthetic_scene(np.random.default_rng(i))
+               for i in range(len(all_pcds))]
+
+    feature_fn = {}
+    modalities = {"frid": "range", "fsvd": "voxel", "fpvd": "point_voxel"}
+    for m in metrics:
+        if m in modalities:
+            from lidar_layout_tpu.eval.registry import build_feature_fn
+            feature_fn[m] = build_feature_fn(
+                args.dataset, modalities[m], weights_root=args.weights_root)
+
+    out = evaluate(ref, all_pcds, metrics, args.dataset,
+                   feature_fn=feature_fn)
+    print(json.dumps(out))
+    os.makedirs(args.outdir, exist_ok=True)
+    with open(os.path.join(args.outdir, "eval.json"), "w") as f:
+        json.dump(out, f, indent=2)
 
 
 if __name__ == "__main__":
