@@ -167,12 +167,23 @@ def main():
             loss_cfg = VQLossConfig()
         geo = GeoConverter(geom, curve_length=loss_cfg.curve_length)
         disc = LiDARNLayerDiscriminator()
+        perceptual_fn = None
+        if getattr(loss_cfg, "perceptual_factor", 0) > 0:
+            # rangenet LPIPS term (vqperceptual.py perceptual_weight); loads
+            # converted torch weights from --weights-root when present,
+            # otherwise a fixed random feature net (loudly noted)
+            from lidar_layout_tpu.losses.perceptual import make_perceptual_fn
+            perceptual_fn = make_perceptual_fn(geom)
+            print("perceptual loss active "
+                  f"(factor={loss_cfg.perceptual_factor})")
         tx_g, tx_d = make_ae_optimizers(lr, lr, accumulate)
         state = create_ae_state(model, disc, jax.random.key(args.seed),
                                 (*geom.size, model.cfg.in_channels),
                                 tx_g, tx_d, loss_cfg, geo)
-        step = make_ae_train_step(model, disc, loss_cfg, geo, tx_g, tx_d)
-        val_step = make_ae_val_step(model, loss_cfg, geo)
+        step = make_ae_train_step(model, disc, loss_cfg, geo, tx_g, tx_d,
+                                  perceptual_fn=perceptual_fn)
+        val_step = make_ae_val_step(model, loss_cfg, geo,
+                                    perceptual_fn=perceptual_fn)
         monitor = "val/rec_loss"
 
         def render_fn(state, rng):  # ImageLogger: inputs + reconstructions

@@ -6,6 +6,7 @@ Reference: ddpm.py:540-553 (scale_by_std), :608-658/911-992 (split input),
 :882-895 (validation_step), main.py:596-617 (ModelCheckpoint), :712-722
 (accumulate_grad_batches + LambdaLR).
 """
+import dataclasses
 import json
 import os
 
@@ -310,3 +311,33 @@ class TestMelkAndFirstStageInjection:
                         {"params_g": {"not": {"matching": np.zeros(3)}}})
         with pytest.raises((ValueError, KeyError)):
             load_first_stage_params(str(tmp_path), params["first_stage"])
+
+
+class TestPerceptualWiring:
+    def test_perceptual_term_changes_ae_loss(self):
+        """perceptual_factor>0 + perceptual_fn flows into the generator NLL
+        (vqperceptual.py perceptual_weight path)."""
+        import jax
+
+        from lidar_layout_tpu.losses.geometric import GeoConverter
+        from lidar_layout_tpu.losses.vq_loss import (VQLossConfig,
+                                                     reconstruction_nll)
+        from lidar_layout_tpu.ops.lidar import LidarGeometry
+
+        geom = LidarGeometry(size=(16, 64), fov=(3, -25))
+        geo = GeoConverter(geom, curve_length=1)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(2, 16, 64, 1)), jnp.float32)
+        rec = jnp.asarray(rng.normal(size=(2, 16, 64, 2)), jnp.float32)
+        mask = jnp.ones((2, 16, 64, 1), jnp.float32)
+
+        stub = lambda a, b: jnp.mean((a - b) ** 2)
+        cfg0 = VQLossConfig(mask_factor=1.0, geo_factor=0.0, curve_length=1)
+        cfg1 = dataclasses.replace(cfg0, perceptual_factor=2.0)
+        nll0, logs0 = reconstruction_nll(cfg0, geo, x, rec, mask,
+                                         perceptual_fn=stub)
+        nll1, logs1 = reconstruction_nll(cfg1, geo, x, rec, mask,
+                                         perceptual_fn=stub)
+        assert float(logs0["perceptual_loss"]) == 0.0
+        assert float(logs1["perceptual_loss"]) > 0.0
+        assert float(nll1) != float(nll0)
