@@ -56,12 +56,18 @@ class NuScenesLayoutDataset:
                  vocab_objects: Optional[Sequence[str]] = None,
                  vocab_relations: Optional[Sequence[str]] = None,
                  max_objs: int = 16, max_triples: int = 32,
-                 clip_dim: int = 512):
+                 clip_dim: int = 512, with_changes: bool = True,
+                 eval_type: Optional[str] = None, seed: int = 0):
         self.root = root
         self.split = split
         self.max_objs = max_objs
         self.max_triples = max_triples
         self.clip_dim = clip_dim
+        # manipulation augs (nuscenes_layout_dataset.py:263-315): train draws
+        # a random type per batch; eval forces eval_type
+        self.with_changes = with_changes and split == "train"
+        self.eval_type = eval_type
+        self._aug_rng = np.random.default_rng(seed)
 
         pkl = os.path.join(root, f"nuscenes_infos_{split}.pkl")
         with open(pkl, "rb") as f:
@@ -140,7 +146,7 @@ class NuScenesLayoutDataset:
                 if j < len(sc["rel_feat"]):
                     rel[tbase + j] = sc["rel_feat"][j]
 
-        return {
+        graph = {
             "enc_objs": objs, "enc_triples": triples, "enc_text_feat": text,
             "enc_rel_feat": rel, "enc_pred_mask": pred_mask,
             "dec_objs": objs, "dec_triples": triples, "dec_text_feat": text,
@@ -150,3 +156,9 @@ class NuScenesLayoutDataset:
             "changed_mask": np.zeros((N,), bool),
             "obj_mask": obj_mask, "n_scenes": np.int32(n_sc),
         }
+        if self.with_changes or self.eval_type:
+            from .graph_aug import random_manipulation
+            graph = random_manipulation(graph, self._aug_rng,
+                                        max_objs=self.max_objs,
+                                        mode=self.eval_type)
+        return graph

@@ -179,3 +179,56 @@ class TestGraphManipulation:
         tri = g2["enc_triples"]
         assert g2["changed_mask"][tri[t, 0]] and g2["changed_mask"][tri[t, 2]]
         assert (g2["enc_triples"][t, 1] != g["enc_triples"][t, 1])
+
+
+class TestManipulationSemantics:
+    """random_manipulation parity (nuscenes_layout_dataset.py:263-315)."""
+
+    def _graph(self, n=6, t=8, max_objs=6):
+        rng = np.random.default_rng(0)
+        return {
+            "enc_triples": np.stack([rng.integers(0, n, t),
+                                     rng.integers(0, 9, t),
+                                     rng.integers(0, n, t)], 1).astype(np.int32),
+            "enc_pred_mask": np.ones(t, bool),
+            "enc_to_dec": np.arange(n, dtype=np.int32),
+            "changed_mask": np.zeros(n, bool),
+            "obj_mask": np.ones(n, bool),
+        }
+
+    def test_type_distribution_and_info(self):
+        from lidar_layout_tpu.data.graph_aug import random_manipulation
+
+        rng = np.random.default_rng(1)
+        types = set()
+        for _ in range(60):
+            info = {}
+            g = random_manipulation(self._graph(), rng, max_objs=6, info=info)
+            types.add(info["type"])
+            if info["type"] == "addition":
+                assert info["added_node_id"] % 6 != 0  # never ego
+                assert (g["enc_to_dec"] == -1).sum() == 1
+            elif info["type"] == "relationship":
+                assert g["changed_mask"].any()
+        assert types == {"addition", "relationship", "none"}
+
+    def test_small_graphs_never_manipulated(self):
+        from lidar_layout_tpu.data.graph_aug import random_manipulation
+
+        rng = np.random.default_rng(2)
+        g0 = self._graph(n=2, t=2, max_objs=2)
+        for _ in range(10):
+            info = {}
+            random_manipulation(g0, rng, max_objs=2, info=info)
+            assert info["type"] == "none"
+
+    def test_interpretable_flip(self):
+        from lidar_layout_tpu.data.graph_aug import (CHANGED_REL,
+                                                     modify_relationship)
+
+        g = self._graph()
+        g["enc_triples"][:, 1] = 1  # 'left' everywhere
+        g2, t = modify_relationship(g, np.random.default_rng(3),
+                                    interpretable=True)
+        assert t >= 0
+        assert g2["enc_triples"][t, 1] == CHANGED_REL[1]  # left -> right
