@@ -68,7 +68,7 @@ def _flash_fwd_tpu(q: Array, k: Array, v: Array,
     from jax.experimental.pallas import tpu as pltpu
 
     b, h, s, d = q.shape
-    bq = min(256, s)
+    bq = 256 if s % 256 == 0 else 128  # s % 128 == 0 per _supports_flash
     scale = d ** -0.5
     # D-major: (BH, D, S)
     qt = (q * scale).reshape(b * h, s, d).swapaxes(1, 2)
