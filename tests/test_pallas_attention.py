@@ -16,7 +16,9 @@ def _qkv(b, h, s, d, seed=0, dtype=jnp.float32):
 
 
 def test_kernel_parity_interpret_mode():
-    for shape in [(2, 4, 256, 32), (1, 8, 128, 32), (2, 2, 512, 64)]:
+    # 384 = divisible by 128 but not 256 (regression: tail query block)
+    for shape in [(2, 4, 256, 32), (1, 8, 128, 32), (2, 2, 512, 64),
+                  (1, 2, 384, 32)]:
         q, k, v = _qkv(*shape, seed=shape[2])
         ref = _attend_ref(q, k, v)
         out = _flash_fwd_tpu(q, k, v, interpret=True)
