@@ -34,7 +34,11 @@ def main():
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (fast local smoke runs)")
-    args = p.parse_args()
+    args, unknown = p.parse_known_args()
+    bad = [u for u in unknown if "=" not in u]
+    if bad:
+        p.error(f"unrecognized arguments: {' '.join(bad)}")
+    args.overrides = unknown
 
     import jax
 
@@ -54,6 +58,10 @@ def main():
                                                 IterationTimer, Trainer)
 
     cfg = load_yaml(args.base)
+    if args.overrides:
+        from lidar_layout_tpu.config import apply_dotlist
+        apply_dotlist(cfg, args.overrides)
+        print(f"dotlist overrides: {args.overrides}")
     model_cfg = cfg["model"]
     data_cfg = cfg.get("data", {}).get("params", {})
     dset_cfg = data_cfg.get("dataset", {})
