@@ -118,10 +118,16 @@ def main():
         ref_clouds.append(synthetic_scene(
             np.random.default_rng(10_000 + i), n_points))
 
+    # device-resident pool: per step only a handful of int32 indices cross the
+    # relay. (Host->device batches every step pinned unbounded client memory —
+    # the r2 first attempt leaked to 62 GB RSS and crawled.)
+    pool_dev = jnp.asarray(pool)
+    pool_mask_dev = jnp.asarray(pool_mask)
+
     def pool_batch(bs):
-        idx = rng_np.integers(0, args.pool, bs)
-        return {"image": jnp.asarray(pool[idx]),
-                "mask": jnp.asarray(pool_mask[idx])}
+        idx = jnp.asarray(rng_np.integers(0, args.pool, bs), jnp.int32)
+        return {"image": jnp.take(pool_dev, idx, axis=0),
+                "mask": jnp.take(pool_mask_dev, idx, axis=0)}
 
     # ------------------------------- stage A: VQ-GAN AE -------------------
     print("[northstar] stage A: training VQ-GAN AE...", flush=True)
@@ -135,19 +141,33 @@ def main():
                                tx_g, tx_d, loss_cfg, geo)
     ae_step = make_ae_train_step(ae, disc, loss_cfg, geo, tx_g, tx_d)
 
+    from lidar_layout_tpu.train.checkpoint import (latest_step,
+                                                   restore_checkpoint,
+                                                   save_checkpoint)
+    ae_ckpt_dir = os.path.join(args.workdir, "ckpt_ae")
+
     t0 = time.perf_counter()
     first_rec = last_rec = None
-    for i in range(args.ae_steps):
-        ae_state, logs = ae_step(ae_state, pool_batch(args.ae_batch),
-                                 jax.random.key(i))
-        if i % max(args.ae_steps // 20, 1) == 0 or i == args.ae_steps - 1:
-            rec = float(logs["rec_loss"]) if "rec_loss" in logs else \
-                float(logs["nll_loss"])
-            if first_rec is None:
-                first_rec = rec
-            last_rec = rec
-            print(f"  ae step {i}: nll={float(logs['nll_loss']):.4f} "
-                  f"q={float(logs['quant_loss']):.4f}", flush=True)
+    if latest_step(ae_ckpt_dir) is not None and not args.tiny:
+        ae_state = restore_checkpoint(ae_ckpt_dir, ae_state)
+        print(f"[northstar] stage A restored from {ae_ckpt_dir}", flush=True)
+        first_rec = last_rec = float("nan")
+    else:
+        for i in range(args.ae_steps):
+            ae_state, logs = ae_step(ae_state, pool_batch(args.ae_batch),
+                                     jax.random.key(i))
+            if i % max(args.ae_steps // 20, 1) == 0 or i == args.ae_steps - 1:
+                rec = float(logs["rec_loss"]) if "rec_loss" in logs else \
+                    float(logs["nll_loss"])
+                if first_rec is None:
+                    first_rec = rec
+                last_rec = rec
+                print(f"  ae step {i}: nll={float(logs['nll_loss']):.4f} "
+                      f"q={float(logs['quant_loss']):.4f}", flush=True)
+            elif i % 100 == 99:  # bound the async dispatch queue
+                _ = float(logs["nll_loss"])
+        save_checkpoint(ae_ckpt_dir, args.ae_steps, ae_state)
+        print(f"[northstar] stage A checkpoint -> {ae_ckpt_dir}", flush=True)
     report["stages"]["ae"] = {
         "steps": args.ae_steps, "seconds": round(time.perf_counter() - t0, 1),
         "nll_first": round(first_rec, 4), "nll_last": round(last_rec, 4)}
@@ -173,6 +193,8 @@ def main():
                 first_loss = cur
             last_loss = cur
             print(f"  lidm step {i}: loss={cur:.4f}", flush=True)
+        elif i % 100 == 99:  # bound the async dispatch queue
+            _ = float(logs["loss"])
     report["stages"]["lidm"] = {
         "steps": args.lidm_steps,
         "seconds": round(time.perf_counter() - t0, 1),
