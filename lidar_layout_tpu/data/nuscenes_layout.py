@@ -57,12 +57,20 @@ class NuScenesLayoutDataset:
                  vocab_relations: Optional[Sequence[str]] = None,
                  max_objs: int = 16, max_triples: int = 32,
                  clip_dim: int = 512, with_changes: bool = True,
-                 eval_type: Optional[str] = None, seed: int = 0):
+                 eval_type: Optional[str] = None, seed: int = 0,
+                 cache_features: str | bool = "auto",
+                 cache_headroom_gb: float = 2.0):
         self.root = root
         self.split = split
         self.max_objs = max_objs
         self.max_triples = max_triples
         self.clip_dim = clip_dim
+        # memory-gated CLIP-feature cache (reference FreeMemLinux probe,
+        # nuscenes_layout_dataset.py:67): "auto" keeps pickles resident while
+        # host RAM headroom stays above cache_headroom_gb.
+        self._cache_features = cache_features
+        self._cache_headroom_gb = cache_headroom_gb
+        self._feat_cache: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
         # manipulation augs (nuscenes_layout_dataset.py:263-315): train draws
         # a random type per batch; eval forces eval_type
         self.with_changes = with_changes and split == "train"
@@ -90,16 +98,30 @@ class NuScenesLayoutDataset:
     def __len__(self):
         return len(self.scans)
 
+    def _cache_ok(self) -> bool:
+        if self._cache_features is True:
+            return True
+        if not self._cache_features:  # False / "" / "off"
+            return False
+        from ..utils.memory import available_gb
+        return available_gb() > self._cache_headroom_gb
+
     def _load_clip_feats(self, fid: str, n_obj: int, n_tri: int
                          ) -> Tuple[np.ndarray, np.ndarray]:
+        hit = self._feat_cache.get(fid)
+        if hit is not None:
+            return hit
         split_dir = "train" if self.split == "train" else "val"
         path = os.path.join(self.root, split_dir, "CLIP", fid,
                             f"CLIP_{fid}.pkl")
         if os.path.exists(path):
             with open(path, "rb") as f:
                 feats = pickle.load(f)
-            return (np.asarray(feats["clip_obj_feats"], np.float32),
-                    np.asarray(feats["clip_rel_feats"], np.float32))
+            out = (np.asarray(feats["clip_obj_feats"], np.float32),
+                   np.asarray(feats["clip_rel_feats"], np.float32))
+            if self._cache_ok():
+                self._feat_cache[fid] = out
+            return out
         return (np.zeros((n_obj, self.clip_dim), np.float32),
                 np.zeros((n_tri, self.clip_dim), np.float32))
 

@@ -69,10 +69,10 @@ def create_ae_state(model: VQModel, disc: nn.Module, rng: Array,
                         step=jnp.zeros((), jnp.int32))
 
 
-def make_ae_train_step(model: VQModel, disc: nn.Module, loss_cfg: VQLossConfig,
-                       geo: GeoConverter, tx_g, tx_d,
-                       perceptual_fn: Optional[Callable] = None) -> Callable:
-    """Returns step(state, batch, rng) -> (state, logs).
+def _make_raw_ae_step(model: VQModel, disc: nn.Module, loss_cfg: VQLossConfig,
+                      geo: GeoConverter, tx_g, tx_d,
+                      perceptual_fn: Optional[Callable] = None) -> Callable:
+    """Unjitted step(state, batch, rng) -> (state, logs).
 
     When the AE config has dropout > 0 the generator pass runs with
     deterministic=False and the step rng feeds the dropout collection
@@ -137,8 +137,7 @@ def make_ae_train_step(model: VQModel, disc: nn.Module, loss_cfg: VQLossConfig,
         return loss, {"disc_loss": loss, "logits_real": jnp.mean(logits_real),
                       "logits_fake": jnp.mean(logits_fake)}
 
-    @jax.jit
-    def step(state: AETrainState, batch: Dict[str, Array], rng: Array):
+    def raw_step(state: AETrainState, batch: Dict[str, Array], rng: Array):
         x = batch["image"]
         masks = batch.get("mask") if loss_cfg.mask_factor > 0 else None
 
@@ -158,7 +157,29 @@ def make_ae_train_step(model: VQModel, disc: nn.Module, loss_cfg: VQLossConfig,
         return AETrainState(params_g=params_g, params_d=params_d,
                             opt_g=opt_g, opt_d=opt_d, step=state.step + 1), logs
 
-    return step
+    return raw_step
+
+
+def make_ae_train_step(model: VQModel, disc: nn.Module, loss_cfg: VQLossConfig,
+                       geo: GeoConverter, tx_g, tx_d,
+                       perceptual_fn: Optional[Callable] = None) -> Callable:
+    """Returns jitted step(state, batch, rng) -> (state, logs)."""
+    return jax.jit(_make_raw_ae_step(model, disc, loss_cfg, geo, tx_g, tx_d,
+                                     perceptual_fn=perceptual_fn))
+
+
+def make_chunked_ae_train_step(model: VQModel, disc: nn.Module,
+                               loss_cfg: VQLossConfig, geo: GeoConverter,
+                               tx_g, tx_d, batch_fn: Callable, n_inner: int,
+                               perceptual_fn: Optional[Callable] = None,
+                               donate: bool = False) -> Callable:
+    """Scan-chunked AE training: step(state, rng) runs ``n_inner`` generator+
+    discriminator updates in one XLA program, micro-batches built on device by
+    ``batch_fn(rng) -> batch`` (see diffusion_trainer.chunk_steps)."""
+    from .diffusion_trainer import chunk_steps
+    raw = _make_raw_ae_step(model, disc, loss_cfg, geo, tx_g, tx_d,
+                            perceptual_fn=perceptual_fn)
+    return chunk_steps(raw, batch_fn, n_inner, donate=donate)
 
 
 def make_ae_val_step(model: VQModel, loss_cfg: VQLossConfig,

@@ -78,19 +78,10 @@ def create_train_state(model: LatentDiffusion, params: Dict[str, Any],
     )
 
 
-def make_train_step(model: LatentDiffusion, tx: optax.GradientTransformation,
-                    ema_decay: float = 0.9999, donate: bool = False,
-                    deterministic: Optional[bool] = None) -> Callable:
-    """Returns step(state, batch, rng) -> (state, logs).
-
-    ``donate=True`` reuses the input state's buffers in-place (halves peak HBM
-    for big models) but invalidates the passed-in state — callers must always
-    continue from the returned one.
-
-    ``deterministic`` defaults to "dropout off iff the U-Net config has
-    dropout == 0" so configs with dropout > 0 (e.g. the reference's
-    layout_cond_c2_p4.yaml, unet dropout: 0.1) actually train with dropout;
-    p_losses threads the rng through apply_model."""
+def _make_raw_step(model: LatentDiffusion, tx: optax.GradientTransformation,
+                   ema_decay: float, deterministic: Optional[bool]) -> Callable:
+    """Unjitted step(state, batch, rng) -> (state, logs); shared by the
+    one-dispatch-per-step and scan-chunked drivers."""
     keys = trainable_keys(model)
     if deterministic is None:
         deterministic = getattr(getattr(model.unet, "cfg", None),
@@ -101,7 +92,6 @@ def make_train_step(model: LatentDiffusion, tx: optax.GradientTransformation,
         return model.training_loss(params, rng, batch,
                                    deterministic=deterministic)
 
-    @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step(state: DiffusionTrainState, batch: Dict[str, Array], rng: Array):
         train, frozen = split_params(state.params, keys)
         (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -116,6 +106,66 @@ def make_train_step(model: LatentDiffusion, tx: optax.GradientTransformation,
                                    step=state.step + 1), logs
 
     return step
+
+
+def make_train_step(model: LatentDiffusion, tx: optax.GradientTransformation,
+                    ema_decay: float = 0.9999, donate: bool = False,
+                    deterministic: Optional[bool] = None) -> Callable:
+    """Returns step(state, batch, rng) -> (state, logs).
+
+    ``donate=True`` reuses the input state's buffers in-place (halves peak HBM
+    for big models) but invalidates the passed-in state — callers must always
+    continue from the returned one.
+
+    ``deterministic`` defaults to "dropout off iff the U-Net config has
+    dropout == 0" so configs with dropout > 0 (e.g. the reference's
+    layout_cond_c2_p4.yaml, unet dropout: 0.1) actually train with dropout;
+    p_losses threads the rng through apply_model."""
+    raw = _make_raw_step(model, tx, ema_decay, deterministic)
+    return jax.jit(raw, donate_argnums=(0,) if donate else ())
+
+
+def chunk_steps(raw_step: Callable, batch_fn: Callable, n_inner: int,
+                donate: bool = False) -> Callable:
+    """Fuse ``n_inner`` training steps into ONE XLA program via ``lax.scan``.
+
+    Returns step(state, rng) -> (state, logs-of-last-inner-step). Each inner
+    step derives its own rng (``fold_in(rng, i)``) and builds its micro-batch
+    *on device* with ``batch_fn(rng_b) -> batch dict`` — e.g. gathering from a
+    device-resident sample pool. This is the TPU-idiomatic answer to
+    per-step launcher/dispatch overhead (the reference pays a Python
+    Lightning hook cycle per step, main.py:751; through the axon relay one
+    dispatch costs ~35 ms — at K=64 that amortizes to <1 ms/step).
+
+    The scan carries the full train state, so XLA cannot hoist the body
+    (PERF.md pitfall 3). ``donate=True`` recycles the state buffers across
+    the chunk boundary — opt-in because the axon TPU relay rejects the
+    donated-scan-carry program with INVALID_ARGUMENT (PERF.md pitfall 4);
+    on direct TPU runtimes it halves peak HBM for big models."""
+
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def step(state: DiffusionTrainState, rng: Array):
+        def body(carry, i):
+            r = jax.random.fold_in(rng, i)
+            r_batch, r_step = jax.random.split(r)
+            return raw_step(carry, batch_fn(r_batch), r_step)
+
+        state, logs = jax.lax.scan(body, state, jnp.arange(n_inner))
+        return state, jax.tree.map(lambda x: x[-1], logs)
+
+    return step
+
+
+def make_chunked_train_step(model: LatentDiffusion,
+                            tx: optax.GradientTransformation,
+                            batch_fn: Callable, n_inner: int,
+                            ema_decay: float = 0.9999, donate: bool = False,
+                            deterministic: Optional[bool] = None) -> Callable:
+    """Scan-chunked variant of make_train_step: step(state, rng) runs
+    ``n_inner`` optimizer steps per dispatch, micro-batches built on device by
+    ``batch_fn``."""
+    raw = _make_raw_step(model, tx, ema_decay, deterministic)
+    return chunk_steps(raw, batch_fn, n_inner, donate=donate)
 
 
 def ema_params(model: LatentDiffusion, state: DiffusionTrainState) -> Dict[str, Any]:

@@ -31,6 +31,8 @@ def main():
     p.add_argument("--pool", type=int, default=512, help="train scenes")
     p.add_argument("--n-eval", type=int, default=256)
     p.add_argument("--sample-steps", type=int, default=50)
+    p.add_argument("--chunk", type=int, default=50,
+                   help="optimizer steps fused per dispatch (lax.scan)")
     p.add_argument("--workdir", default="./runs/northstar_r02")
     p.add_argument("--out", default="NORTHSTAR_r02.json")
     p.add_argument("--cpu", action="store_true")
@@ -58,12 +60,10 @@ def main():
     from lidar_layout_tpu.data.synthetic import synthetic_scene
     from lidar_layout_tpu.eval.metrics import evaluate
     from lidar_layout_tpu.train.ae_trainer import (create_ae_state,
-                                                   make_ae_optimizers,
-                                                   make_ae_train_step)
+                                                   make_ae_optimizers)
     from lidar_layout_tpu.train.diffusion_trainer import (create_train_state,
                                                           ema_params,
-                                                          make_optimizer,
-                                                          make_train_step)
+                                                          make_optimizer)
 
     os.makedirs(args.workdir, exist_ok=True)
     t_start = time.perf_counter()
@@ -93,7 +93,6 @@ def main():
                                    latent_shape=(16, 128, 8))
         n_points = 120000
 
-    rng_np = np.random.default_rng(0)
     h, w = geom.size
 
     # ---- fixed training distribution: pool of projected synthetic scenes ----
@@ -124,10 +123,15 @@ def main():
     pool_dev = jnp.asarray(pool)
     pool_mask_dev = jnp.asarray(pool_mask)
 
-    def pool_batch(bs):
-        idx = jnp.asarray(rng_np.integers(0, args.pool, bs), jnp.int32)
-        return {"image": jnp.take(pool_dev, idx, axis=0),
-                "mask": jnp.take(pool_mask_dev, idx, axis=0)}
+    def make_batch_fn(bs):
+        # device-side batch builder for the scan-chunked drivers: the whole
+        # chunk of K steps (index draw + gather + fwd/bwd + update) is ONE
+        # XLA program, so the ~35 ms/dispatch relay cost amortizes to K.
+        def batch_fn(rng):
+            idx = jax.random.randint(rng, (bs,), 0, args.pool)
+            return {"image": jnp.take(pool_dev, idx, axis=0),
+                    "mask": jnp.take(pool_mask_dev, idx, axis=0)}
+        return batch_fn
 
     # ------------------------------- stage A: VQ-GAN AE -------------------
     print("[northstar] stage A: training VQ-GAN AE...", flush=True)
@@ -139,7 +143,6 @@ def main():
     tx_g, tx_d = make_ae_optimizers(2e-4, 2e-4)
     ae_state = create_ae_state(ae, disc, jax.random.key(0), (h, w, 1),
                                tx_g, tx_d, loss_cfg, geo)
-    ae_step = make_ae_train_step(ae, disc, loss_cfg, geo, tx_g, tx_d)
 
     from lidar_layout_tpu.train.checkpoint import (latest_step,
                                                    restore_checkpoint,
@@ -153,19 +156,23 @@ def main():
         print(f"[northstar] stage A restored from {ae_ckpt_dir}", flush=True)
         first_rec = last_rec = float("nan")
     else:
-        for i in range(args.ae_steps):
-            ae_state, logs = ae_step(ae_state, pool_batch(args.ae_batch),
-                                     jax.random.key(i))
-            if i % max(args.ae_steps // 20, 1) == 0 or i == args.ae_steps - 1:
-                rec = float(logs["rec_loss"]) if "rec_loss" in logs else \
-                    float(logs["nll_loss"])
+        from lidar_layout_tpu.train.ae_trainer import make_chunked_ae_train_step
+        chunk = max(min(args.chunk, args.ae_steps), 1)
+        n_chunks = max(args.ae_steps // chunk, 1)
+        ae_chunked = make_chunked_ae_train_step(
+            ae, disc, loss_cfg, geo, tx_g, tx_d,
+            make_batch_fn(args.ae_batch), chunk)
+        for c in range(n_chunks):
+            ae_state, logs = ae_chunked(ae_state, jax.random.key(c))
+            if c % max(n_chunks // 20, 1) == 0 or c == n_chunks - 1:
+                rec = float(logs["nll_loss"])
                 if first_rec is None:
                     first_rec = rec
                 last_rec = rec
-                print(f"  ae step {i}: nll={float(logs['nll_loss']):.4f} "
+                print(f"  ae step {(c + 1) * chunk}: "
+                      f"nll={float(logs['nll_loss']):.4f} "
                       f"q={float(logs['quant_loss']):.4f}", flush=True)
-            elif i % 100 == 99:  # bound the async dispatch queue
-                _ = float(logs["nll_loss"])
+        args.ae_steps = n_chunks * chunk  # actual steps run
         save_checkpoint(ae_ckpt_dir, args.ae_steps, ae_state)
         print(f"[northstar] stage A checkpoint -> {ae_ckpt_dir}", flush=True)
     report["stages"]["ae"] = {
@@ -180,23 +187,24 @@ def main():
     params["first_stage"] = ae_state.params_g  # trained stage A, frozen
     tx = make_optimizer(2e-4)
     dstate = create_train_state(model, params, tx)
-    dstep = make_train_step(model, tx)
 
     t0 = time.perf_counter()
     first_loss = last_loss = None
-    for i in range(args.lidm_steps):
-        dstate, logs = dstep(dstate, pool_batch(args.lidm_batch),
-                             jax.random.key(100_000 + i))
-        if i % max(args.lidm_steps // 20, 1) == 0 or i == args.lidm_steps - 1:
+    from lidar_layout_tpu.train.diffusion_trainer import make_chunked_train_step
+    chunk = max(min(args.chunk, args.lidm_steps), 1)
+    n_chunks = max(args.lidm_steps // chunk, 1)
+    dchunked = make_chunked_train_step(model, tx,
+                                       make_batch_fn(args.lidm_batch), chunk)
+    for c in range(n_chunks):
+        dstate, logs = dchunked(dstate, jax.random.key(100_000 + c))
+        if c % max(n_chunks // 20, 1) == 0 or c == n_chunks - 1:
             cur = float(logs["loss"])
             if first_loss is None:
                 first_loss = cur
             last_loss = cur
-            print(f"  lidm step {i}: loss={cur:.4f}", flush=True)
-        elif i % 100 == 99:  # bound the async dispatch queue
-            _ = float(logs["loss"])
+            print(f"  lidm step {(c + 1) * chunk}: loss={cur:.4f}", flush=True)
     report["stages"]["lidm"] = {
-        "steps": args.lidm_steps,
+        "steps": n_chunks * chunk,
         "seconds": round(time.perf_counter() - t0, 1),
         "loss_first": round(first_loss, 4), "loss_last": round(last_loss, 4)}
 

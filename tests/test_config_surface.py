@@ -235,7 +235,7 @@ class TestTinyTrainAndSample:
             HERE, "configs/autoencoder/nuscenes_objects/g2sd_32.yaml"))
         p = cfg["model"]["params"]
         p.update(embed_dim=32, n_embed=64, num_points=64)
-        p["modelconfig"]["params"]["num_grids"] = 8
+        p["modelconfig"]["params"]["num_grids"] = 16  # lattice needs a square
         model = instantiate_from_config(cfg["model"])
         pts = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (64, 3)),
                           jnp.float32)

@@ -99,3 +99,52 @@ class TestCollectives:
 
         out = f(x)
         assert float(out[0]) == pytest.approx(3.5)
+
+
+class TestMemoryProbe:
+    def test_meminfo_parses(self, tmp_path):
+        from lidar_layout_tpu.utils.memory import available_gb, meminfo, total_gb
+        p = tmp_path / "meminfo"
+        p.write_text("MemTotal:       16000000 kB\n"
+                     "MemFree:         4000000 kB\n"
+                     "MemAvailable:    8388608 kB\n"
+                     "Buffers:          100000 kB\n")
+        info = meminfo(str(p))
+        assert info["MemTotal"] == 16000000
+        assert available_gb(str(p)) == pytest.approx(8.0)
+        assert total_gb(str(p)) == pytest.approx(16000000 / 1024 / 1024)
+
+    def test_fallback_without_memavailable(self, tmp_path):
+        from lidar_layout_tpu.utils.memory import available_gb
+        p = tmp_path / "meminfo"
+        p.write_text("MemTotal: 8 kB\nMemFree: 1048576 kB\n"
+                     "Buffers: 1048576 kB\nCached: 1048576 kB\n")
+        assert available_gb(str(p)) == pytest.approx(3.0)
+        assert available_gb(str(tmp_path / "missing")) == 0.0
+
+    def test_clip_cache_gating(self, tmp_path):
+        """cache_features=True keeps pickles resident; False never does."""
+        infos = [{"scene_graph": {
+            "keep_box_names": ["car"],
+            "keep_box_relationships": [[0, 1, 1]],
+            "keep_box": np.zeros((1, 7), np.float32),
+        }}]
+        with open(tmp_path / "nuscenes_infos_train.pkl", "wb") as f:
+            pickle.dump(infos, f)
+        clip_dir = tmp_path / "train" / "CLIP" / "0000000"
+        clip_dir.mkdir(parents=True)
+        with open(clip_dir / "CLIP_0000000.pkl", "wb") as f:
+            pickle.dump({"clip_obj_feats": np.ones((2, 512), np.float32),
+                         "clip_rel_feats": np.ones((1, 512), np.float32)}, f)
+
+        ds = NuScenesLayoutDataset(str(tmp_path), "train",
+                                   cache_features=True)
+        ds.scene(0)
+        assert "0000000" in ds._feat_cache
+        tf, _ = ds._load_clip_feats("0000000", 2, 1)  # served from cache
+        assert tf[0, 0] == 1.0
+
+        ds2 = NuScenesLayoutDataset(str(tmp_path), "train",
+                                    cache_features=False)
+        ds2.scene(0)
+        assert not ds2._feat_cache

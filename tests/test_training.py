@@ -187,3 +187,81 @@ class TestCFGSampling:
                         cfg_scale=5.0, **kwargs)
         assert np.isfinite(np.asarray(a)).all()
         assert np.isfinite(np.asarray(b)).all()
+
+
+class TestChunkedTraining:
+    """Scan-chunked drivers: K optimizer steps per dispatch must match K
+    sequential single-dispatch steps bit-for-bit given the same rng scheme."""
+
+    def test_chunked_diffusion_matches_sequential(self):
+        from lidar_layout_tpu.train.diffusion_trainer import (
+            make_chunked_train_step)
+
+        model = _pixel_diffusion()
+        params = model.init(jax.random.key(0), image_shape=(8, 16, 2))
+        tx = make_optimizer(1e-3)
+
+        pool = jnp.asarray(
+            np.random.default_rng(0).standard_normal((16, 8, 16, 2)),
+            jnp.float32)
+
+        def batch_fn(rng):
+            idx = jax.random.randint(rng, (4,), 0, pool.shape[0])
+            return {"image": jnp.take(pool, idx, axis=0)}
+
+        k = 3
+        rng = jax.random.key(7)
+
+        # sequential reference: replicate chunk_steps' rng derivation
+        state_a = create_train_state(model, params, tx)
+        step = make_train_step(model, tx)
+        for i in range(k):
+            r = jax.random.fold_in(rng, i)
+            r_batch, r_step = jax.random.split(r)
+            state_a, logs_a = step(state_a, batch_fn(r_batch), r_step)
+
+        state_b = create_train_state(model, params, tx)
+        chunked = make_chunked_train_step(model, tx, batch_fn, k,
+                                          donate=False)
+        state_b, logs_b = chunked(state_b, rng)
+
+        assert int(state_b.step) == k
+        np.testing.assert_allclose(float(logs_b["loss"]),
+                                   float(logs_a["loss"]), rtol=1e-5)
+        da = jax.tree.leaves(jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()),
+            state_a.params["unet"], state_b.params["unet"]))
+        assert max(da) < 1e-5
+
+    def test_chunked_ae_step_runs(self):
+        from lidar_layout_tpu.train.ae_trainer import (
+            make_chunked_ae_train_step)
+
+        ae_cfg = AEConfig(ch=16, ch_mult=(1, 2), strides=((1, 2),),
+                          z_channels=4, out_ch=2, num_res_blocks=1)
+        model = VQModel(ae_cfg, n_embed=64, embed_dim=4, use_mask=True)
+        disc = LiDARNLayerDiscriminator(ndf=16, n_layers=2)
+        loss_cfg = VQLossConfig(mask_factor=1.0, geo_factor=1.0,
+                                disc_start=10**9, disc_gate="until",
+                                curve_length=1)
+        geo = GeoConverter(GEOM, curve_length=1)
+        tx_g, tx_d = make_ae_optimizers(1e-3, 1e-3)
+        state = create_ae_state(model, disc, jax.random.key(0), (16, 64, 1),
+                                tx_g, tx_d, loss_cfg, geo)
+
+        img = jnp.asarray(np.clip(
+            np.random.default_rng(0).standard_normal((8, 16, 64, 1)) * 0.3,
+            -1, 1), jnp.float32)
+
+        def batch_fn(rng):
+            idx = jax.random.randint(rng, (2,), 0, img.shape[0])
+            return {"image": jnp.take(img, idx, axis=0),
+                    "mask": jnp.ones((2, 16, 64, 1))}
+
+        chunked = make_chunked_ae_train_step(model, disc, loss_cfg, geo,
+                                             tx_g, tx_d, batch_fn, 4,
+                                             donate=False)
+        state, logs = chunked(state, jax.random.key(1))
+        assert int(state.step) == 4
+        assert np.isfinite(float(logs["rec_loss"]))
+        assert np.isfinite(float(logs["disc_loss"]))
