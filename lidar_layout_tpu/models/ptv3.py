@@ -115,8 +115,12 @@ class PatchAttention(nn.Module):
             w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
             out = jnp.einsum("nhkq,nqhd->nkhd", w, v)
         else:
+            # key-padding mask rides the fused Pallas path as an additive
+            # key bias when patch_size qualifies (1024 does); odd/test sizes
+            # fall back to XLA inside attend()
+            from ..ops.pallas_attention import attend
             attn_mask = mp.reshape(npatch, 1, 1, p)
-            out = jax.nn.dot_product_attention(q, k, v, mask=attn_mask)
+            out = attend(q, k, v, mask=attn_mask)
         out = out.reshape(npatch * p, c)[:n]
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 

@@ -240,6 +240,27 @@ def main():
     random_params = model.init(jax.random.key(99), image_shape=(h, w, 1))
     random_clouds = draw_clouds(random_params, 8_000)
 
+    # AE-reconstruction ceiling: held-out scans -> stage-A encode/decode ->
+    # reproject. Isolates first-stage quality from the diffusion prior: the
+    # trained sampler can at best match this row, so a big trained-vs-recon
+    # gap blames stage B, a big recon-vs-self gap blames stage A.
+    @jax.jit
+    def ae_recon_batch(ps, imgs):
+        z = model.encode_first_stage(ps, imgs)
+        rec = model.decode_first_stage(ps, z)
+        xyz, valid = jax.vmap(lambda im: L.range2pcd(im, geom))(rec[..., 0])
+        return xyz, valid
+
+    recon_clouds = []
+    for i in range(0, args.n_eval, batch):
+        imgs = np.stack([np.asarray(project(jnp.asarray(p))[0])[..., None]
+                         for p in ref_clouds[i:i + batch]])
+        xyz, valid = jax.tree.map(
+            np.asarray, ae_recon_batch(trained, jnp.asarray(imgs)))
+        for pc, v in zip(xyz, valid):
+            recon_clouds.append(pc[v])
+    recon_clouds = recon_clouds[: args.n_eval]
+
     # pure-noise baseline: uniform points in the scene volume
     noise_clouds = [np.random.default_rng(i).uniform(
         (-50, -50, -3), (50, 50, 2), (4096, 3)).astype(np.float32)
@@ -249,6 +270,7 @@ def main():
     m_trained = evaluate(ref_clouds, trained_clouds, ["jsd", "mmd"], data_type)
     m_random = evaluate(ref_clouds, random_clouds, ["jsd", "mmd"], data_type)
     m_noise = evaluate(ref_clouds, noise_clouds, ["jsd", "mmd"], data_type)
+    m_recon = evaluate(ref_clouds, recon_clouds, ["jsd", "mmd"], data_type)
     # sanity ceiling: held-out real scenes vs themselves (split halves)
     half = args.n_eval // 2
     m_self = evaluate(ref_clouds[:half], ref_clouds[half:], ["jsd", "mmd"],
@@ -260,6 +282,8 @@ def main():
         "trained": {k: round(float(v), 6) for k, v in m_trained.items()},
         "random_weights": {k: round(float(v), 6) for k, v in m_random.items()},
         "noise": {k: round(float(v), 6) for k, v in m_noise.items()},
+        "ae_recon_ceiling": {k: round(float(v), 6)
+                             for k, v in m_recon.items()},
         "heldout_self": {k: round(float(v), 6) for k, v in m_self.items()},
     }
     report["trained_beats_random"] = bool(
