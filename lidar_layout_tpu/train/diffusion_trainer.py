@@ -141,14 +141,23 @@ def chunk_steps(raw_step: Callable, batch_fn: Callable, n_inner: int,
     (PERF.md pitfall 3). ``donate=True`` recycles the state buffers across
     the chunk boundary — opt-in because the axon TPU relay rejects the
     donated-scan-carry program with INVALID_ARGUMENT (PERF.md pitfall 4);
-    on direct TPU runtimes it halves peak HBM for big models."""
+    on direct TPU runtimes it halves peak HBM for big models.
+
+    Large device-resident pools must flow through the optional ``data``
+    argument (``step(state, rng, data=pool)`` with ``batch_fn(rng, data)``)
+    rather than a ``batch_fn`` closure: closed-over arrays are baked into
+    the lowered program as literal constants, and a >~0.5 GB pool then
+    overflows the serialized-HLO upload to a remote compiler (observed:
+    HTTP 413 through the axon relay at pool=2048 64x1024 scans)."""
 
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
-    def step(state: DiffusionTrainState, rng: Array):
+    def step(state: DiffusionTrainState, rng: Array, data=None):
         def body(carry, i):
             r = jax.random.fold_in(rng, i)
             r_batch, r_step = jax.random.split(r)
-            return raw_step(carry, batch_fn(r_batch), r_step)
+            batch = batch_fn(r_batch) if data is None \
+                else batch_fn(r_batch, data)
+            return raw_step(carry, batch, r_step)
 
         state, logs = jax.lax.scan(body, state, jnp.arange(n_inner))
         return state, jax.tree.map(lambda x: x[-1], logs)

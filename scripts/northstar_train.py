@@ -35,6 +35,13 @@ def main():
                    help="optimizer steps fused per dispatch (lax.scan)")
     p.add_argument("--workdir", default="./runs/northstar_r02")
     p.add_argument("--out", default="NORTHSTAR_r02.json")
+    p.add_argument("--lidm-lr", type=float, default=2e-4)
+    p.add_argument("--cosine", action="store_true",
+                   help="1k-step warmup + cosine decay to 10% for stage B")
+    p.add_argument("--scale-by-std", action="store_true",
+                   help="calibrate scale_factor=1/std(z) before stage B "
+                        "(ddpm.py:540-553); fixes the SNR mismatch when the "
+                        "first stage's latents aren't unit-variance")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--tiny", action="store_true", help="CI-sized smoke run")
     args = p.parse_args()
@@ -119,18 +126,26 @@ def main():
 
     # device-resident pool: per step only a handful of int32 indices cross the
     # relay. (Host->device batches every step pinned unbounded client memory —
-    # the r2 first attempt leaked to 62 GB RSS and crawled.)
-    pool_dev = jnp.asarray(pool)
-    pool_mask_dev = jnp.asarray(pool_mask)
+    # the r2 first attempt leaked to 62 GB RSS and crawled.) The pool flows
+    # through chunk_steps' ``data`` jit argument, NOT a closure — closed-over
+    # arrays become HLO literal constants and a 2048-scene pool (2x537 MB)
+    # overflows the remote-compile upload (HTTP 413).
+    def put_sliced(arr, rows=256):
+        # bounded per-request upload through the relay (one 537 MB put could
+        # hit the same HTTP body limit the oversized compile payload did)
+        return jnp.concatenate([jnp.asarray(arr[i:i + rows])
+                                for i in range(0, len(arr), rows)], axis=0)
+
+    pool_data = {"image": put_sliced(pool), "mask": put_sliced(pool_mask)}
 
     def make_batch_fn(bs):
         # device-side batch builder for the scan-chunked drivers: the whole
         # chunk of K steps (index draw + gather + fwd/bwd + update) is ONE
         # XLA program, so the ~35 ms/dispatch relay cost amortizes to K.
-        def batch_fn(rng):
+        def batch_fn(rng, data):
             idx = jax.random.randint(rng, (bs,), 0, args.pool)
-            return {"image": jnp.take(pool_dev, idx, axis=0),
-                    "mask": jnp.take(pool_mask_dev, idx, axis=0)}
+            return {"image": jnp.take(data["image"], idx, axis=0),
+                    "mask": jnp.take(data["mask"], idx, axis=0)}
         return batch_fn
 
     # ------------------------------- stage A: VQ-GAN AE -------------------
@@ -163,7 +178,8 @@ def main():
             ae, disc, loss_cfg, geo, tx_g, tx_d,
             make_batch_fn(args.ae_batch), chunk)
         for c in range(n_chunks):
-            ae_state, logs = ae_chunked(ae_state, jax.random.key(c))
+            ae_state, logs = ae_chunked(ae_state, jax.random.key(c),
+                                        pool_data)
             if c % max(n_chunks // 20, 1) == 0 or c == n_chunks - 1:
                 rec = float(logs["nll_loss"])
                 if first_rec is None:
@@ -181,28 +197,64 @@ def main():
 
     # ------------------------------- stage B: latent DDPM -----------------
     print("[northstar] stage B: training latent diffusion...", flush=True)
+    if args.scale_by_std:
+        import dataclasses
+        diff_cfg = dataclasses.replace(diff_cfg, scale_by_std=True)
     model = LatentDiffusion(diff_cfg, unet_cfg, first_stage_cfg=ae_cfg,
                             n_embed=2048, embed_dim=8, use_mask=True)
     params = model.init(jax.random.key(1), image_shape=(h, w, 1))
     params["first_stage"] = ae_state.params_g  # trained stage A, frozen
-    tx = make_optimizer(2e-4)
+    if args.scale_by_std:
+        from lidar_layout_tpu.models.diffusion import apply_scale_by_std
+        s = apply_scale_by_std(model, params, jnp.asarray(pool[:16]))
+        report["stages"]["scale_factor"] = round(float(s), 4)
+        print(f"[northstar] scale_by_std: scale_factor={s:.4f}", flush=True)
+    if args.cosine:
+        from lidar_layout_tpu.train.lr_schedule import \
+            lambda_warmup_cosine_optax
+        lr = lambda_warmup_cosine_optax(
+            base_lr=args.lidm_lr, warm_up_steps=1000, lr_min=0.1, lr_max=1.0,
+            lr_start=0.01, max_decay_steps=args.lidm_steps)
+    else:
+        lr = args.lidm_lr
+    tx = make_optimizer(lr)
     dstate = create_train_state(model, params, tx)
+
+    # latent-scale diagnostic: std(z) far from 1 would mean the diffusion
+    # schedule's SNR is mismatched (scale_by_std exists for that case; the
+    # reference's VQ first stage keeps scale_factor=1, uncond_c2_p4.yaml)
+    z_probe = model.encode_first_stage(params, jnp.asarray(pool[:16]))
+    report["stages"]["latent_std"] = round(float(jnp.std(z_probe)), 4)
 
     t0 = time.perf_counter()
     first_loss = last_loss = None
-    from lidar_layout_tpu.train.diffusion_trainer import make_chunked_train_step
-    chunk = max(min(args.chunk, args.lidm_steps), 1)
-    n_chunks = max(args.lidm_steps // chunk, 1)
-    dchunked = make_chunked_train_step(model, tx,
-                                       make_batch_fn(args.lidm_batch), chunk)
-    for c in range(n_chunks):
-        dstate, logs = dchunked(dstate, jax.random.key(100_000 + c))
-        if c % max(n_chunks // 20, 1) == 0 or c == n_chunks - 1:
-            cur = float(logs["loss"])
-            if first_loss is None:
-                first_loss = cur
-            last_loss = cur
-            print(f"  lidm step {(c + 1) * chunk}: loss={cur:.4f}", flush=True)
+    lidm_ckpt_dir = os.path.join(args.workdir, "ckpt_lidm")
+    if latest_step(lidm_ckpt_dir) is not None and not args.tiny:
+        dstate = restore_checkpoint(lidm_ckpt_dir, dstate)
+        print(f"[northstar] stage B restored from {lidm_ckpt_dir}",
+              flush=True)
+        first_loss = last_loss = float("nan")
+        n_chunks, chunk = 0, 1
+    else:
+        from lidar_layout_tpu.train.diffusion_trainer import \
+            make_chunked_train_step
+        chunk = max(min(args.chunk, args.lidm_steps), 1)
+        n_chunks = max(args.lidm_steps // chunk, 1)
+        dchunked = make_chunked_train_step(model, tx,
+                                           make_batch_fn(args.lidm_batch),
+                                           chunk)
+        for c in range(n_chunks):
+            dstate, logs = dchunked(dstate, jax.random.key(100_000 + c),
+                                    pool_data)
+            if c % max(n_chunks // 20, 1) == 0 or c == n_chunks - 1:
+                cur = float(logs["loss"])
+                if first_loss is None:
+                    first_loss = cur
+                last_loss = cur
+                print(f"  lidm step {(c + 1) * chunk}: loss={cur:.4f}",
+                      flush=True)
+        save_checkpoint(lidm_ckpt_dir, n_chunks * chunk, dstate)
+        print("[northstar] stage B checkpoint saved", flush=True)
     report["stages"]["lidm"] = {
         "steps": n_chunks * chunk,
         "seconds": round(time.perf_counter() - t0, 1),
@@ -266,15 +318,36 @@ def main():
         (-50, -50, -3), (50, 50, 2), (4096, 3)).astype(np.float32)
         for i in range(args.n_eval)]
 
+    # persist the clouds: post-hoc metrics without regenerating
+    np.savez(os.path.join(args.workdir, "eval_clouds.npz"),
+             **{name: np.asarray([c.astype(np.float16) for c in cl],
+                                 dtype=object)
+                for name, cl in [("reference", ref_clouds),
+                                 ("trained", trained_clouds),
+                                 ("random_weights", random_clouds),
+                                 ("ae_recon", recon_clouds)]})
+
+    # FRID with the exact RangeNet-21 extractor at FIXED random init (no
+    # pretrained weights in this env — registry logs this loudly). Random-
+    # projection Frechet distances still rank distributions; only relative
+    # comparisons below are meaningful, not the reference's absolute tables.
+    from lidar_layout_tpu.eval.registry import build_feature_fn
+    ffn = {"frid": build_feature_fn("64", "range")}
+
     data_type = "64" if not args.tiny else "64"
-    m_trained = evaluate(ref_clouds, trained_clouds, ["jsd", "mmd"], data_type)
-    m_random = evaluate(ref_clouds, random_clouds, ["jsd", "mmd"], data_type)
-    m_noise = evaluate(ref_clouds, noise_clouds, ["jsd", "mmd"], data_type)
-    m_recon = evaluate(ref_clouds, recon_clouds, ["jsd", "mmd"], data_type)
+    mset = ["jsd", "mmd", "frid"]
+    m_trained = evaluate(ref_clouds, trained_clouds, mset, data_type,
+                         feature_fn=ffn)
+    m_random = evaluate(ref_clouds, random_clouds, mset, data_type,
+                        feature_fn=ffn)
+    m_noise = evaluate(ref_clouds, noise_clouds, mset, data_type,
+                       feature_fn=ffn)
+    m_recon = evaluate(ref_clouds, recon_clouds, mset, data_type,
+                       feature_fn=ffn)
     # sanity ceiling: held-out real scenes vs themselves (split halves)
     half = args.n_eval // 2
-    m_self = evaluate(ref_clouds[:half], ref_clouds[half:], ["jsd", "mmd"],
-                      data_type)
+    m_self = evaluate(ref_clouds[:half], ref_clouds[half:], mset, data_type,
+                      feature_fn=ffn)
 
     report["eval"] = {
         "n_samples": args.n_eval,
@@ -293,21 +366,13 @@ def main():
     report["hardware"] = str(jax.devices()[0].platform)
     report["description"] = (
         "Two-stage LiDM trained from scratch on a fixed synthetic "
-        "distribution; JSD/MMD of trained EMA samples vs held-out scenes, "
-        "compared against random-weights and noise baselines.")
+        "distribution; JSD/MMD (+ fixed-random-feature FRID, relative only) "
+        "of trained EMA samples vs held-out scenes, compared against "
+        "random-weights / noise baselines and the AE-reconstruction ceiling.")
 
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report, indent=2), flush=True)
-
-    # persist checkpoints for sample.py --eval reuse
-    try:
-        from lidar_layout_tpu.train.checkpoint import save_checkpoint
-        save_checkpoint(os.path.join(args.workdir, "ckpt_lidm"),
-                        int(dstate.step), dstate)
-        print(f"[northstar] checkpoints -> {args.workdir}", flush=True)
-    except Exception as e:  # checkpointing must not void the report
-        print(f"[northstar] checkpoint save failed: {e}", flush=True)
 
 
 if __name__ == "__main__":
