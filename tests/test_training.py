@@ -233,6 +233,43 @@ class TestChunkedTraining:
             state_a.params["unet"], state_b.params["unet"]))
         assert max(da) < 1e-5
 
+    def test_chunked_data_arg_matches_closure(self):
+        """Pools passed via the jit ``data`` argument must be bit-identical
+        to the closed-over-pool path (the data arg exists because closures
+        bake the pool into the HLO as a literal constant — PERF.md pitfall 6,
+        HTTP 413 on remote compile for >~0.5 GB pools)."""
+        from lidar_layout_tpu.train.diffusion_trainer import (
+            make_chunked_train_step)
+
+        model = _pixel_diffusion()
+        params = model.init(jax.random.key(0), image_shape=(8, 16, 2))
+        tx = make_optimizer(1e-3)
+        pool = jnp.asarray(
+            np.random.default_rng(0).standard_normal((16, 8, 16, 2)),
+            jnp.float32)
+
+        def batch_closure(rng):
+            idx = jax.random.randint(rng, (4,), 0, pool.shape[0])
+            return {"image": jnp.take(pool, idx, axis=0)}
+
+        def batch_data(rng, data):
+            idx = jax.random.randint(rng, (4,), 0, data.shape[0])
+            return {"image": jnp.take(data, idx, axis=0)}
+
+        rng = jax.random.key(7)
+        state_a = create_train_state(model, params, tx)
+        state_a, logs_a = make_chunked_train_step(
+            model, tx, batch_closure, 3)(state_a, rng)
+        state_b = create_train_state(model, params, tx)
+        state_b, logs_b = make_chunked_train_step(
+            model, tx, batch_data, 3)(state_b, rng, pool)
+
+        assert float(logs_a["loss"]) == float(logs_b["loss"])
+        da = jax.tree.leaves(jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()),
+            state_a.params["unet"], state_b.params["unet"]))
+        assert max(da) == 0.0
+
     def test_chunked_ae_step_runs(self):
         from lidar_layout_tpu.train.ae_trainer import (
             make_chunked_ae_train_step)
