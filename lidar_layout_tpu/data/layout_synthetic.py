@@ -70,3 +70,166 @@ def synthetic_graph_batch(rng: np.random.Generator, n_scenes: int = 4,
         "enc_to_dec": enc_to_dec, "changed_mask": changed,
         "obj_mask": obj_mask, "n_scenes": np.int32(n_scenes),
     }
+
+
+# --------------------------------------------------------------------------
+# Structured "traffic" distribution for learning-evidence runs
+# --------------------------------------------------------------------------
+
+# class vocabulary (0 = padding)
+EGO, CAR, PED = 1, 2, 3
+# predicate vocabulary (0 = padding)
+FRONT_OF, BEHIND, LEFT_OF_EGO, RIGHT_OF_EGO = 1, 2, 3, 4
+
+# normalization ranges: boxes enter diffusion roughly in [-1, 1]
+SIZE_SCALE = 6.0   # sizes in [0, 6] m
+XY_SCALE = 35.0    # |x|,|y| <= 35 m
+Z_SCALE = 3.0      # |z| <= 3 m
+_NORM = np.array([SIZE_SCALE] * 3 + [XY_SCALE, XY_SCALE, Z_SCALE],
+                 np.float32)
+
+
+def normalize_boxes7(boxes: np.ndarray) -> np.ndarray:
+    out = boxes.copy()
+    out[..., :6] = boxes[..., :6] / _NORM
+    return out
+
+
+def denormalize_boxes7(boxes: np.ndarray) -> np.ndarray:
+    out = np.asarray(boxes).copy()
+    out[..., :6] = out[..., :6] * _NORM
+    return out
+
+
+def traffic_graph_batch(rng: np.random.Generator, n_scenes: int = 8,
+                        max_objs_per_scene: int = 8,
+                        max_triples_per_scene: int = 12,
+                        clip_dim: int = 512) -> Dict[str, np.ndarray]:
+    """Structured traffic scenes: a *learnable* layout distribution.
+
+    Each scene: ego at the origin (slot 0); 2-5 cars on two lanes at
+    y = ±2 m heading ±x; 0-2 pedestrians on the sidewalks (|y| ≈ 5-8 m).
+    Scene-graph triples encode true geometric relations — (a FRONT_OF b)
+    for same-lane car pairs, (p LEFT/RIGHT_OF_EGO ego) for pedestrians —
+    so a trained conditional model must place boxes consistently with the
+    graph; relation-satisfaction of samples is a direct learning metric.
+    Boxes are normalized (normalize_boxes7) to diffusion scale; class
+    text features are deterministic per-class unit vectors (stand-in for
+    the CLIP cache the reference precomputes,
+    nuscenes_layout_dataset.py:239-268).
+    """
+    N = n_scenes * max_objs_per_scene
+    T = n_scenes * max_triples_per_scene
+
+    objs = np.zeros((N,), np.int32)
+    obj_mask = np.zeros((N,), bool)
+    boxes = np.zeros((N, 7), np.float32)
+    scene_ids = np.zeros((N,), np.int32)
+    triples = np.zeros((T, 3), np.int32)
+    pred_mask = np.zeros((T,), bool)
+
+    # deterministic per-class / per-predicate feature vectors
+    feat_of = {c: np.random.default_rng(1000 + c).standard_normal(
+        clip_dim).astype(np.float32) / np.sqrt(clip_dim)
+        for c in (0, EGO, CAR, PED)}
+    pfeat_of = {p: np.random.default_rng(2000 + p).standard_normal(
+        clip_dim).astype(np.float32) / np.sqrt(clip_dim)
+        for p in (0, FRONT_OF, BEHIND, LEFT_OF_EGO, RIGHT_OF_EGO)}
+
+    for s in range(n_scenes):
+        base = s * max_objs_per_scene
+        scene_ids[base:base + max_objs_per_scene] = s
+
+        # slot 0: ego
+        objs[base] = EGO
+        obj_mask[base] = True
+        boxes[base] = [4.5, 1.9, 1.7, 0.0, 0.0, -1.0, 0.0]
+
+        slots = []  # (slot, cls, x, y, lane)
+        n_cars = int(rng.integers(2, min(6, max_objs_per_scene - 2) + 1))
+        for i in range(n_cars):
+            lane = int(rng.integers(0, 2))           # 0: y=-2 ->, 1: y=+2 <-
+            x = float(rng.uniform(-30, 30))
+            y = (-2.0 if lane == 0 else 2.0) + float(rng.normal(0, 0.3))
+            yaw = (0.0 if lane == 0 else np.pi) + float(rng.normal(0, 0.1))
+            size = np.array([4.5, 1.9, 1.7]) * (1 + rng.normal(0, 0.05, 3))
+            k = base + 1 + i
+            objs[k] = CAR
+            obj_mask[k] = True
+            boxes[k] = [*size, x, y, -1.0 + float(rng.normal(0, 0.1)), yaw]
+            slots.append((k, CAR, x, y, lane))
+
+        n_ped = int(rng.integers(0, min(3, max_objs_per_scene - 1 - n_cars)
+                                 + 1))
+        for j in range(n_ped):
+            side = 1 if rng.uniform() < 0.5 else -1
+            x = float(rng.uniform(-20, 20))
+            y = side * float(rng.uniform(5, 8))
+            k = base + 1 + n_cars + j
+            objs[k] = PED
+            obj_mask[k] = True
+            boxes[k] = [0.6, 0.6, 1.7, x, y, -0.8,
+                        float(rng.uniform(-np.pi, np.pi))]
+            slots.append((k, PED, x, y, None))
+
+        # triples: same-lane car ordering + pedestrian side-of-ego
+        tbase = s * max_triples_per_scene
+        tri = []
+        cars = [t for t in slots if t[1] == CAR]
+        for ai in range(len(cars)):
+            for bi in range(ai + 1, len(cars)):
+                ka, _, xa, _, la = cars[ai]
+                kb, _, xb, _, lb = cars[bi]
+                if la != lb:
+                    continue
+                if xa > xb:
+                    tri.append((ka, FRONT_OF, kb))
+                else:
+                    tri.append((kb, FRONT_OF, ka))
+        for (k, c, x, y, _) in slots:
+            if c == PED:
+                tri.append((k, LEFT_OF_EGO if y > 0 else RIGHT_OF_EGO, base))
+        rng.shuffle(tri)
+        for j, (a, p, b) in enumerate(tri[:max_triples_per_scene]):
+            triples[tbase + j] = [a, p, b]
+            pred_mask[tbase + j] = True
+
+    boxes = normalize_boxes7(boxes)
+    text_feat = np.stack([feat_of[int(c)] for c in objs])
+    rel_feat = np.stack([pfeat_of[int(p)] for p in triples[:, 1]])
+
+    return {
+        "enc_objs": objs, "enc_triples": triples, "enc_text_feat": text_feat,
+        "enc_rel_feat": rel_feat, "enc_pred_mask": pred_mask,
+        "dec_objs": objs, "dec_triples": triples, "dec_text_feat": text_feat,
+        "dec_rel_feat": rel_feat, "dec_pred_mask": pred_mask,
+        "dec_boxes": boxes, "dec_objs_to_scene": scene_ids,
+        "enc_to_dec": np.arange(N, dtype=np.int32),
+        "changed_mask": np.zeros((N,), bool),
+        "obj_mask": obj_mask, "n_scenes": np.int32(n_scenes),
+    }
+
+
+def relation_satisfaction(boxes7: np.ndarray, graph: Dict[str, np.ndarray]
+                          ) -> float:
+    """Fraction of real triples whose geometric relation holds in ``boxes7``
+    (denormalized (N,7)). The learning metric for the layout north star."""
+    tri = graph["dec_triples"]
+    ok, total = 0, 0
+    for (a, p, b), valid in zip(tri, graph["dec_pred_mask"]):
+        if not valid:
+            continue
+        xa, ya = boxes7[a, 3], boxes7[a, 4]
+        xb = boxes7[b, 3]
+        if p == FRONT_OF:
+            ok += int(xa > xb)
+        elif p == BEHIND:
+            ok += int(xa < xb)
+        elif p == LEFT_OF_EGO:
+            ok += int(ya > 0)
+        elif p == RIGHT_OF_EGO:
+            ok += int(ya < 0)
+        else:
+            continue
+        total += 1
+    return ok / max(total, 1)

@@ -232,3 +232,42 @@ class TestManipulationSemantics:
                                     interpretable=True)
         assert t >= 0
         assert g2["enc_triples"][t, 1] == CHANGED_REL[1]  # left -> right
+
+
+class TestTrafficDistribution:
+    """Structured traffic generator + relation metric (layout north star)."""
+
+    def test_traffic_batch_contract_and_relations(self):
+        from lidar_layout_tpu.data.layout_synthetic import (
+            CAR, EGO, PED, denormalize_boxes7, normalize_boxes7,
+            relation_satisfaction, traffic_graph_batch)
+
+        g = traffic_graph_batch(np.random.default_rng(0), n_scenes=4)
+        assert g["dec_boxes"].shape == (32, 7)
+        # slot 0 of every scene is ego
+        for s in range(4):
+            assert g["dec_objs"][s * 8] == EGO
+        # every real object is a known class
+        assert set(np.unique(g["dec_objs"][g["obj_mask"]])) <= {EGO, CAR, PED}
+        # normalization round-trips
+        np.testing.assert_allclose(
+            normalize_boxes7(denormalize_boxes7(g["dec_boxes"])),
+            g["dec_boxes"], atol=1e-6)
+        # the data itself satisfies its own graph perfectly
+        boxes = denormalize_boxes7(g["dec_boxes"])
+        assert relation_satisfaction(boxes, g) == 1.0
+        # cars sit on the two lanes at y = +-2
+        sel = (g["dec_objs"] == CAR) & g["obj_mask"]
+        y = boxes[sel][:, 4]
+        assert (np.abs(np.abs(y) - 2.0) < 1.5).all()
+
+    def test_relation_metric_detects_shuffled_boxes(self):
+        from lidar_layout_tpu.data.layout_synthetic import (
+            denormalize_boxes7, relation_satisfaction, traffic_graph_batch)
+
+        g = traffic_graph_batch(np.random.default_rng(1), n_scenes=8)
+        boxes = denormalize_boxes7(g["dec_boxes"])
+        rng = np.random.default_rng(2)
+        shuffled = boxes.copy()
+        shuffled[:, 3:5] = rng.permutation(shuffled[:, 3:5])
+        assert relation_satisfaction(shuffled, g) < 0.8
