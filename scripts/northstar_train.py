@@ -319,9 +319,15 @@ def main():
         for i in range(args.n_eval)]
 
     # persist the clouds: post-hoc metrics without regenerating
+    def ragged(cl):
+        # np.asarray(..., dtype=object) on SAME-shape clouds would box every
+        # scalar into a PyObject (GBs for 256x120k pts); fill explicitly
+        arr = np.empty(len(cl), dtype=object)
+        arr[:] = [c.astype(np.float16) for c in cl]
+        return arr
+
     np.savez(os.path.join(args.workdir, "eval_clouds.npz"),
-             **{name: np.asarray([c.astype(np.float16) for c in cl],
-                                 dtype=object)
+             **{name: ragged(cl)
                 for name, cl in [("reference", ref_clouds),
                                  ("trained", trained_clouds),
                                  ("random_weights", random_clouds),
