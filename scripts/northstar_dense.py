@@ -34,7 +34,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("-b", "--base", default=DEFAULT_CONFIG)
     p.add_argument("--steps", type=int, default=3000)
-    p.add_argument("--n-points", type=int, default=8192)
+    p.add_argument("--n-points", type=int, default=4096)
+    p.add_argument("--band-capacity", type=int, default=2048)
     p.add_argument("--n-eval", type=int, default=32)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--out", default="NORTHSTAR_DENSE.json")
@@ -55,6 +56,7 @@ def main():
     from lidar_layout_tpu.data.synthetic import synthetic_scene
     from lidar_layout_tpu.models.gs_decoder import gs_loss, render_surfels
     from lidar_layout_tpu.ops.gaussian_raster import RasterConfig
+    from lidar_layout_tpu.ops.gaussian_raster_tiled import BandedConfig
     from lidar_layout_tpu.ops.lidar import LidarGeometry, pcd2range
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -75,7 +77,22 @@ def main():
     else:
         geom = LidarGeometry(size=(32, 1024), fov=(10, -30))
         n_pts = args.n_points
-    rc = RasterConfig(chunk=128 if args.tiny else 512)
+    # tiny: dense scan; full: banded binning — the dense scan's backward
+    # saves one (chunk x pixels) residual per scan step (~3 GB at 32x1024
+    # with tens of thousands of surfels), the banded path bounds work per
+    # azimuth band. capacity MUST cover n_points*n_offsets/n_bands with
+    # slack: at the default 512 the first full run silently truncated 2/3
+    # of the 49k surfels and the loss never moved.
+    if args.tiny:
+        rc = RasterConfig(chunk=128)
+    else:
+        n_bands = geom.size[1] // 32
+        per_band = n_pts * 6 / n_bands  # GSDecoderConfig.n_offsets = 6
+        if args.band_capacity < 2 * per_band:
+            print(f"[dense-ns] WARNING: band capacity {args.band_capacity} "
+                  f"< 2x mean occupancy {per_band:.0f}; surfels will be "
+                  f"dropped", flush=True)
+        rc = BandedConfig(capacity=args.band_capacity)
 
     model = instantiate_from_config(model_cfg)
 

@@ -166,18 +166,26 @@ def main():
 
     t0 = time.perf_counter()
     first_rec = last_rec = None
-    if latest_step(ae_ckpt_dir) is not None and not args.tiny:
+    chunk = max(min(args.chunk, args.ae_steps), 1)
+    n_chunks = max(args.ae_steps // chunk, 1)
+    saved_a = None if args.tiny else latest_step(ae_ckpt_dir)
+    if saved_a is not None and saved_a >= n_chunks * chunk:
         ae_state = restore_checkpoint(ae_ckpt_dir, ae_state)
         print(f"[northstar] stage A restored from {ae_ckpt_dir}", flush=True)
         first_rec = last_rec = float("nan")
     else:
+        start_c = 0
+        if saved_a is not None:
+            ae_state = restore_checkpoint(ae_ckpt_dir, ae_state)
+            start_c = saved_a // chunk
+            print(f"[northstar] stage A resuming at step {saved_a}",
+                  flush=True)
         from lidar_layout_tpu.train.ae_trainer import make_chunked_ae_train_step
-        chunk = max(min(args.chunk, args.ae_steps), 1)
-        n_chunks = max(args.ae_steps // chunk, 1)
         ae_chunked = make_chunked_ae_train_step(
             ae, disc, loss_cfg, geo, tx_g, tx_d,
             make_batch_fn(args.ae_batch), chunk)
-        for c in range(n_chunks):
+        save_every = max(n_chunks // 5, 1)
+        for c in range(start_c, n_chunks):
             ae_state, logs = ae_chunked(ae_state, jax.random.key(c),
                                         pool_data)
             if c % max(n_chunks // 20, 1) == 0 or c == n_chunks - 1:
@@ -188,6 +196,9 @@ def main():
                 print(f"  ae step {(c + 1) * chunk}: "
                       f"nll={float(logs['nll_loss']):.4f} "
                       f"q={float(logs['quant_loss']):.4f}", flush=True)
+            if (c + 1) % save_every == 0 and not args.tiny \
+                    and c != n_chunks - 1:
+                save_checkpoint(ae_ckpt_dir, (c + 1) * chunk, ae_state)
         args.ae_steps = n_chunks * chunk  # actual steps run
         save_checkpoint(ae_ckpt_dir, args.ae_steps, ae_state)
         print(f"[northstar] stage A checkpoint -> {ae_ckpt_dir}", flush=True)
@@ -229,21 +240,29 @@ def main():
     t0 = time.perf_counter()
     first_loss = last_loss = None
     lidm_ckpt_dir = os.path.join(args.workdir, "ckpt_lidm")
-    if latest_step(lidm_ckpt_dir) is not None and not args.tiny:
+    chunk = max(min(args.chunk, args.lidm_steps), 1)
+    n_chunks = max(args.lidm_steps // chunk, 1)
+    saved_b = None if args.tiny else latest_step(lidm_ckpt_dir)
+    if saved_b is not None and saved_b >= n_chunks * chunk:
         dstate = restore_checkpoint(lidm_ckpt_dir, dstate)
         print(f"[northstar] stage B restored from {lidm_ckpt_dir}",
               flush=True)
         first_loss = last_loss = float("nan")
         n_chunks, chunk = 0, 1
     else:
+        start_c = 0
+        if saved_b is not None:
+            dstate = restore_checkpoint(lidm_ckpt_dir, dstate)
+            start_c = saved_b // chunk
+            print(f"[northstar] stage B resuming at step {saved_b}",
+                  flush=True)
         from lidar_layout_tpu.train.diffusion_trainer import \
             make_chunked_train_step
-        chunk = max(min(args.chunk, args.lidm_steps), 1)
-        n_chunks = max(args.lidm_steps // chunk, 1)
         dchunked = make_chunked_train_step(model, tx,
                                            make_batch_fn(args.lidm_batch),
                                            chunk)
-        for c in range(n_chunks):
+        save_every = max(n_chunks // 10, 1)
+        for c in range(start_c, n_chunks):
             dstate, logs = dchunked(dstate, jax.random.key(100_000 + c),
                                     pool_data)
             if c % max(n_chunks // 20, 1) == 0 or c == n_chunks - 1:
@@ -253,6 +272,9 @@ def main():
                 last_loss = cur
                 print(f"  lidm step {(c + 1) * chunk}: loss={cur:.4f}",
                       flush=True)
+            if (c + 1) % save_every == 0 and not args.tiny \
+                    and c != n_chunks - 1:
+                save_checkpoint(lidm_ckpt_dir, (c + 1) * chunk, dstate)
         save_checkpoint(lidm_ckpt_dir, n_chunks * chunk, dstate)
         print("[northstar] stage B checkpoint saved", flush=True)
     report["stages"]["lidm"] = {
