@@ -179,5 +179,13 @@ def rasterize_banded(means: Array, quats: Array, scales: Array,
         x = jnp.moveaxis(x, 0, 1)                          # (H, B, wb, ...)
         return x.reshape(h, w, *x.shape[3:])
 
+    # no silent caps: entries a real band wanted but capacity dropped. A
+    # consumer can assert overflow == 0 (or resize BandedConfig.capacity);
+    # a large value means gradients flow through an arbitrary surfel subset
+    # (exactly how the first dense-decoder north-star run failed to learn).
+    overflow = jnp.sum(((sorted_band < n_bands) & (pos >= cap))
+                       .astype(jnp.int32))
+
     return {"feature": stitch(f_b), "depth": stitch(d_b),
-            "alpha": stitch(a_b), "transmittance": stitch(t_b)}
+            "alpha": stitch(a_b), "transmittance": stitch(t_b),
+            "overflow": overflow}

@@ -71,3 +71,22 @@ class TestBandedEquivalence:
         alpha = np.asarray(out["alpha"])
         row = alpha[np.unravel_index(alpha.argmax(), alpha.shape)[0]]
         assert row[0] > 0.01 and row[-1] > 0.01
+
+
+class TestOverflowReporting:
+    """No silent caps: rasterize_banded reports dropped band entries."""
+
+    def test_zero_overflow_at_sufficient_capacity(self):
+        rng = np.random.default_rng(3)
+        out = rasterize_banded(*gaussians(rng, 100), GEOM,
+                               cfg=BandedConfig(band_w=16, capacity=256,
+                                                max_span=7, chunk=64))
+        assert int(out["overflow"]) == 0
+
+    def test_overflow_counted_when_capacity_too_small(self):
+        rng = np.random.default_rng(4)
+        # 400 gaussians, 8 bands, capacity 8: must drop most entries
+        out = rasterize_banded(*gaussians(rng, 400), GEOM,
+                               cfg=BandedConfig(band_w=16, capacity=8,
+                                                max_span=5, chunk=8))
+        assert int(out["overflow"]) > 100
