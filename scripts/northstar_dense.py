@@ -33,7 +33,8 @@ DEFAULT_CONFIG = os.path.join(os.path.dirname(__file__), "..", "configs",
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("-b", "--base", default=DEFAULT_CONFIG)
-    p.add_argument("--steps", type=int, default=3000)
+    p.add_argument("--steps", type=int, default=None,
+                   help="default 3000 (30 with --tiny)")
     p.add_argument("--n-points", type=int, default=4096)
     p.add_argument("--band-capacity", type=int, default=2048)
     p.add_argument("--n-eval", type=int, default=32)
@@ -65,7 +66,7 @@ def main():
     cfg = load_yaml(args.base)
     model_cfg = cfg["model"]
     if args.tiny:
-        args.steps = min(args.steps, 30)
+        args.steps = args.steps or 30
         args.n_eval = min(args.n_eval, 4)
         model_cfg["params"]["backbone"]["params"].update(
             enc_depths=[1, 1], enc_channels=[16, 32], enc_num_head=[2, 4],
@@ -75,6 +76,7 @@ def main():
         geom = LidarGeometry(size=(16, 64), fov=(10, -30))
         n_pts = 512
     else:
+        args.steps = args.steps or 3000
         geom = LidarGeometry(size=(32, 1024), fov=(10, -30))
         n_pts = args.n_points
     # tiny: dense scan; full: banded binning — the dense scan's backward
