@@ -270,6 +270,38 @@ class TestChunkedTraining:
             state_a.params["unet"], state_b.params["unet"]))
         assert max(da) == 0.0
 
+    def test_chunked_step_on_dp_mesh_matches_single(self):
+        """The production multi-chip path: scan-chunked training with the
+        state replicated over the 8-device dp mesh and the device-resident
+        pool sharded — same loss as the unsharded run (batches are built
+        on-device from the same rng stream)."""
+        from lidar_layout_tpu.train.diffusion_trainer import (
+            make_chunked_train_step)
+
+        model = _pixel_diffusion()
+        params = model.init(jax.random.key(0), image_shape=(8, 16, 2))
+        tx = make_optimizer(1e-3)
+        pool = jnp.asarray(
+            np.random.default_rng(0).standard_normal((16, 8, 16, 2)),
+            jnp.float32)
+
+        def batch_fn(rng, data):
+            idx = jax.random.randint(rng, (8,), 0, data.shape[0])
+            return {"image": jnp.take(data, idx, axis=0)}
+
+        rng = jax.random.key(7)
+        step = make_chunked_train_step(model, tx, batch_fn, 2)
+
+        state_a = create_train_state(model, params, tx)
+        _, logs_single = step(state_a, rng, pool)
+
+        mesh = make_mesh()
+        state_b = replicate(create_train_state(model, params, tx), mesh)
+        pool_r = replicate({"pool": pool}, mesh)["pool"]
+        _, logs_dp = step(state_b, rng, pool_r)
+        assert float(logs_dp["loss"]) == pytest.approx(
+            float(logs_single["loss"]), rel=1e-5)
+
     def test_chunked_ae_step_runs(self):
         from lidar_layout_tpu.train.ae_trainer import (
             make_chunked_ae_train_step)
