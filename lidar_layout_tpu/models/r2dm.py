@@ -40,6 +40,7 @@ class R2DMConfig:
     timesteps: int = 1024
     beta_schedule: str = "cosine"
     loss_type: str = "l2"
+    parameterization: str = "eps"   # generic-sampler contract
 
     def blocks_at(self, lvl: int) -> int:
         n = self.num_res_blocks
@@ -238,3 +239,10 @@ class R2DMDiffusion:
 
     def apply_model(self, params, x: Array, t: Array, cond=None) -> Array:
         return self.unet.apply(params["unet"], x, t)
+
+    def eps_from_model_out(self, x_t: Array, t: Array, out: Array) -> Array:
+        """eps parameterization: the model predicts noise directly. Makes the
+        generic DDIM/PLMS/DDPM samplers (models/samplers.py) work on R2DM,
+        matching the reference's ContinuousTimeGaussianDiffusion sampling
+        (r2dm uses the shared sampler stack in scripts/sample.py)."""
+        return out

@@ -121,3 +121,22 @@ class TestObjectAE:
         # the full-depth G2SD needs more steps than the round-1 toy AE to
         # halve; 80 Adam steps reliably cut chamfer by >35%
         assert float(l) < 0.65 * l0
+
+
+class TestR2DMSampling:
+    """R2DM satisfies the generic sampler contract (eps parameterization)."""
+
+    def test_ddim_and_plms_sample_finite(self):
+        cfg = R2DMConfig(image_size=(8, 32), base_channels=8,
+                         channel_mult=(1, 2), num_res_blocks=1, timesteps=32,
+                         coord_bands=2)
+        model = R2DMDiffusion(cfg)
+        params = model.init(jax.random.key(0))
+        from lidar_layout_tpu.models.samplers import ddim_sample, plms_sample
+        x = ddim_sample(model, params, jax.random.key(1), (2, 8, 32, 2),
+                        steps=8)
+        assert x.shape == (2, 8, 32, 2)
+        assert np.isfinite(np.asarray(x)).all()
+        y = plms_sample(model, params, jax.random.key(2), (2, 8, 32, 2),
+                        steps=8)
+        assert np.isfinite(np.asarray(y)).all()
