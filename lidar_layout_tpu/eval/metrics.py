@@ -123,6 +123,10 @@ def compute_mmd(reference: Sequence[np.ndarray], samples: Sequence[np.ndarray],
     ref_b = bev_bin_clouds(reference, data_type)
     smp_b = bev_bin_clouds(samples, data_type)
     cap = max(max((len(p) for p in ref_b + smp_b), default=1), 1)
+    # bucket the pad size so different sample sets (whose max bin counts
+    # differ by a few points) reuse one compiled program instead of paying
+    # a fresh nested-vmap compile per call — the dominant cost on CPU
+    cap = -(-cap // 512) * 512
 
     smp_arr = jnp.asarray(np.stack([_pad_to(p, cap, 2)[0] for p in smp_b]))
     smp_mask = jnp.asarray(np.stack([_pad_to(p, cap, 2)[1] for p in smp_b]))

@@ -41,6 +41,14 @@ def nn_dist_one_way(x: Array, y: Array, y_mask: Optional[Array] = None,
     are pushed to +BIG so padding never wins.
     """
     n = x.shape[0]
+    if n <= chunk:
+        # single tile: no scan, no padding (padding to a full 4096-row
+        # chunk made small-cloud metric calls up to 64x more work and a
+        # much bigger program to compile)
+        d = _sq_dists(x, y)
+        if y_mask is not None:
+            d = jnp.where(y_mask[None, :], d, BIG)
+        return jnp.min(d, axis=-1)
     pad = (-n) % chunk
     xp = jnp.pad(x, ((0, pad), (0, 0)))
     xs = xp.reshape(-1, chunk, x.shape[-1])

@@ -1,0 +1,197 @@
+#!/usr/bin/env python
+"""R2DM north star: prove the pixel-space range diffusion LEARNS.
+
+Trains R2DMDiffusion (EfficientUNet over [depth, intensity] range images,
+reference lidm/models/diffusion/r2dm.py + unets/efficient_unet.py) on
+projected synthetic scenes with the scan-chunked driver, samples via the
+shared DDIM stack, reprojects to clouds, and scores JSD/MMD vs held-out
+scenes against random-weights and pure-noise baselines.
+Writes NORTHSTAR_R2DM.json.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=4000)
+    p.add_argument("--chunk", type=int, default=50)
+    p.add_argument("--pool", type=int, default=256)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--n-eval", type=int, default=32)
+    p.add_argument("--sample-steps", type=int, default=32)
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--out", default="NORTHSTAR_R2DM.json")
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--tiny", action="store_true")
+    args = p.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from lidar_layout_tpu.data.synthetic import synthetic_scene
+    from lidar_layout_tpu.eval.metrics import evaluate
+    from lidar_layout_tpu.models.r2dm import R2DMConfig, R2DMDiffusion
+    from lidar_layout_tpu.models.samplers import ddim_sample
+    from lidar_layout_tpu.ops import lidar as L
+    from lidar_layout_tpu.ops.lidar import LidarGeometry
+    from lidar_layout_tpu.train.diffusion_trainer import chunk_steps
+
+    t_start = time.perf_counter()
+    if args.tiny:
+        args.steps, args.pool, args.n_eval = min(args.steps, 20), 16, 8
+        args.sample_steps = 8
+        geom = LidarGeometry(size=(16, 128))
+        cfg = R2DMConfig(image_size=(16, 128), base_channels=8,
+                         channel_mult=(1, 2), num_res_blocks=1, timesteps=64,
+                         coord_bands=2)
+        n_points = 8192
+    else:
+        geom = LidarGeometry(size=(16, 128))
+        cfg = R2DMConfig(image_size=(16, 128), base_channels=32,
+                         channel_mult=(1, 2, 4), num_res_blocks=1,
+                         timesteps=512, coord_bands=4, attn_levels=(2,),
+                         attn_num_heads=4)
+        n_points = 16384
+    h, w = geom.size
+    model = R2DMDiffusion(cfg)
+
+    # ---- pool of projected scenes: channels [model-scale depth, intensity] --
+    print(f"[r2dm-ns] building {args.pool}-scene pool...", flush=True)
+
+    @jax.jit
+    def project(pts):
+        img, _ = L.pcd2range(pts, geom)
+        m, mask = L.process_scan(img, geom)
+        return m, mask
+
+    pool = np.zeros((args.pool, h, w, 2), np.float32)
+    for i in range(args.pool):
+        pts = synthetic_scene(np.random.default_rng(i), n_points)
+        m, mask = project(jnp.asarray(pts))
+        pool[i, ..., 0] = np.asarray(m)
+        # stand-in intensity: radial falloff where there is a return
+        pool[i, ..., 1] = np.where(np.asarray(mask),
+                                   1.0 / (1.0 + np.asarray(m) + 1.0), -1.0)
+    ref_clouds = [synthetic_scene(np.random.default_rng(10_000 + i), n_points)
+                  for i in range(args.n_eval)]
+
+    params = model.init(jax.random.key(0))
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(args.lr))
+    opt = tx.init(params)
+
+    def batch_fn(rng, data):
+        idx = jax.random.randint(rng, (args.batch,), 0, args.pool)
+        return jnp.take(data, idx, axis=0)
+
+    def raw_step(state, batch, rng):
+        params, opt = state
+        (l, logs), grads = jax.value_and_grad(
+            model.p_losses, has_aux=True)(params, rng, batch)
+        upd, opt = tx.update(grads, opt, params)
+        return (optax.apply_updates(params, upd), opt), logs
+
+    chunk = max(min(args.chunk, args.steps), 1)
+    n_chunks = max(args.steps // chunk, 1)
+    step = chunk_steps(raw_step, batch_fn, chunk)
+
+    print(f"[r2dm-ns] training {n_chunks * chunk} steps...", flush=True)
+    t0 = time.perf_counter()
+    state = (params, opt)
+    pool_dev = jnp.asarray(pool)
+    first_loss = last_loss = None
+    for c in range(n_chunks):
+        state, logs = step(state, jax.random.key(c), pool_dev)
+        if c % max(n_chunks // 10, 1) == 0 or c == n_chunks - 1:
+            cur = float(logs["loss"])
+            if first_loss is None:
+                first_loss = cur
+            last_loss = cur
+            print(f"  step {(c + 1) * chunk}: loss={cur:.4f}", flush=True)
+    train_secs = time.perf_counter() - t0
+
+    # ------------------------------- sample + eval ------------------------
+    print("[r2dm-ns] sampling + eval...", flush=True)
+
+    def draw_clouds(ps, seed):
+        @jax.jit
+        def batch_sample(p_, key):
+            x = ddim_sample(model, p_, key, (args.n_eval, h, w, 2),
+                            steps=args.sample_steps)
+            xyz, valid = jax.vmap(lambda im: L.range2pcd(im, geom))(x[..., 0])
+            return xyz, valid
+
+        xyz, valid = jax.tree.map(np.asarray,
+                                  batch_sample(ps, jax.random.key(seed)))
+        return [pc[v] for pc, v in zip(xyz, valid)]
+
+    t0 = time.perf_counter()
+    trained_clouds = draw_clouds(state[0], 7_000)
+    gen_secs = time.perf_counter() - t0
+    random_clouds = draw_clouds(model.init(jax.random.key(99)), 8_000)
+    noise_clouds = [np.random.default_rng(i).uniform(
+        (-50, -50, -3), (50, 50, 2), (2048, 3)).astype(np.float32)
+        for i in range(args.n_eval)]
+
+    def cap(clouds, n=4096):
+        # bound the O(N^2) chamfer inside MMD (matters on the CPU fallback)
+        out = []
+        for c in clouds:
+            if len(c) > n:
+                sel = np.random.default_rng(0).choice(len(c), n,
+                                                      replace=False)
+                c = c[sel]
+            out.append(c)
+        return out
+
+    ref_clouds = cap(ref_clouds)
+    trained_clouds = cap(trained_clouds)
+    random_clouds = cap(random_clouds)
+
+    mset = ["jsd", "mmd"]
+    m_tr = evaluate(ref_clouds, trained_clouds, mset, "64")
+    m_rd = evaluate(ref_clouds, random_clouds, mset, "64")
+    m_nz = evaluate(ref_clouds, noise_clouds, mset, "64")
+    half = args.n_eval // 2
+    m_self = evaluate(ref_clouds[:half], ref_clouds[half:], mset, "64")
+
+    report = {
+        "train": {"steps": n_chunks * chunk, "seconds": round(train_secs, 1),
+                  "loss_first": round(first_loss, 4),
+                  "loss_last": round(last_loss, 4)},
+        "eval": {
+            "n_samples": args.n_eval, "gen_seconds": round(gen_secs, 1),
+            "trained": {k: round(float(v), 6) for k, v in m_tr.items()},
+            "random_weights": {k: round(float(v), 6)
+                               for k, v in m_rd.items()},
+            "noise": {k: round(float(v), 6) for k, v in m_nz.items()},
+            "heldout_self": {k: round(float(v), 6) for k, v in m_self.items()},
+        },
+        "trained_beats_random": bool(m_tr["jsd"] < m_rd["jsd"]),
+        "trained_beats_noise": bool(m_tr["jsd"] < m_nz["jsd"]),
+        "hardware": str(jax.devices()[0].platform),
+        "total_seconds": round(time.perf_counter() - t_start, 1),
+        "description": (
+            "R2DM pixel-space range diffusion trained on projected synthetic "
+            "scenes; JSD/MMD of DDIM samples vs held-out scenes, compared "
+            "against random-weights and pure-noise baselines."),
+    }
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2), flush=True)
+
+
+if __name__ == "__main__":
+    main()
