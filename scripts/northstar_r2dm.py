@@ -140,7 +140,9 @@ def main():
     t0 = time.perf_counter()
     trained_clouds = draw_clouds(state[0], 7_000)
     gen_secs = time.perf_counter() - t0
+    print(f"[r2dm-ns] trained samples drawn in {gen_secs:.1f}s", flush=True)
     random_clouds = draw_clouds(model.init(jax.random.key(99)), 8_000)
+    print("[r2dm-ns] random-weight samples drawn", flush=True)
     noise_clouds = [np.random.default_rng(i).uniform(
         (-50, -50, -3), (50, 50, 2), (2048, 3)).astype(np.float32)
         for i in range(args.n_eval)]
@@ -162,6 +164,7 @@ def main():
 
     mset = ["jsd", "mmd"]
     m_tr = evaluate(ref_clouds, trained_clouds, mset, "64")
+    print("[r2dm-ns] trained scored", flush=True)
     m_rd = evaluate(ref_clouds, random_clouds, mset, "64")
     m_nz = evaluate(ref_clouds, noise_clouds, mset, "64")
     half = args.n_eval // 2
@@ -179,8 +182,11 @@ def main():
             "noise": {k: round(float(v), 6) for k, v in m_nz.items()},
             "heldout_self": {k: round(float(v), 6) for k, v in m_self.items()},
         },
-        "trained_beats_random": bool(m_tr["jsd"] < m_rd["jsd"]),
-        "trained_beats_noise": bool(m_tr["jsd"] < m_nz["jsd"]),
+        # MMD is the discriminative metric at CPU-scale cloud sizes: the
+        # 0.05 m JSD histogram saturates (~0.83 even for heldout-vs-self)
+        # below ~100k points/cloud, while MMD separates self/noise by 10x
+        "trained_beats_random": bool(m_tr["mmd"] < m_rd["mmd"]),
+        "trained_beats_noise": bool(m_tr["mmd"] < m_nz["mmd"]),
         "hardware": str(jax.devices()[0].platform),
         "total_seconds": round(time.perf_counter() - t_start, 1),
         "description": (
