@@ -21,7 +21,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--steps", type=int, default=4000)
+    p.add_argument("--steps", type=int, default=None,
+                   help="default 4000 (20 with --tiny)")
     p.add_argument("--chunk", type=int, default=50)
     p.add_argument("--pool", type=int, default=256)
     p.add_argument("--batch", type=int, default=8)
@@ -51,7 +52,8 @@ def main():
 
     t_start = time.perf_counter()
     if args.tiny:
-        args.steps, args.pool, args.n_eval = min(args.steps, 20), 16, 8
+        args.steps = args.steps or 20
+        args.pool, args.n_eval = 16, 8
         args.sample_steps = 8
         geom = LidarGeometry(size=(16, 128))
         cfg = R2DMConfig(image_size=(16, 128), base_channels=8,
@@ -59,6 +61,7 @@ def main():
                          coord_bands=2)
         n_points = 8192
     else:
+        args.steps = args.steps or 4000
         geom = LidarGeometry(size=(16, 128))
         cfg = R2DMConfig(image_size=(16, 128), base_channels=32,
                          channel_mult=(1, 2, 4), num_res_blocks=1,
