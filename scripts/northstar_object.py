@@ -52,7 +52,9 @@ def main():
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--n-points", type=int, default=256)
     p.add_argument("--n-eval", type=int, default=64)
-    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--lr", type=float, default=3e-4,
+                   help="1e-3 collapses the folding decoder (dead "
+                        "ReLU/LayerNorm constant-output plateau)")
     p.add_argument("--vq", action="store_true",
                    help="quantize the codeword (VQ1D path)")
     p.add_argument("--out", default="NORTHSTAR_OBJECT.json")
