@@ -104,7 +104,8 @@ def denormalize_boxes7(boxes: np.ndarray) -> np.ndarray:
 def traffic_graph_batch(rng: np.random.Generator, n_scenes: int = 8,
                         max_objs_per_scene: int = 8,
                         max_triples_per_scene: int = 12,
-                        clip_dim: int = 512) -> Dict[str, np.ndarray]:
+                        clip_dim: int = 512,
+                        with_changes: bool = False) -> Dict[str, np.ndarray]:
     """Structured traffic scenes: a *learnable* layout distribution.
 
     Each scene: ego at the origin (slot 0); 2-5 cars on two lanes at
@@ -198,14 +199,37 @@ def traffic_graph_batch(rng: np.random.Generator, n_scenes: int = 8,
     text_feat = np.stack([feat_of[int(c)] for c in objs])
     rel_feat = np.stack([pfeat_of[int(p)] for p in triples[:, 1]])
 
+    # manipulation supervision (reference with_changes, nuscenes_layout_
+    # dataset.py:330-360 'addition' mode): the ENCODER graph omits one
+    # random non-ego node per scene (enc_to_dec = -1, its triples masked)
+    # while the decoder graph — and the box loss — keep it, so the model
+    # learns to place an *added* node from its graph relations alone.
+    enc_to_dec = np.arange(N, dtype=np.int32)
+    enc_pred_mask = pred_mask.copy()
+    added_mask = np.zeros((N,), bool)
+    if with_changes:
+        for s in range(n_scenes):
+            base = s * max_objs_per_scene
+            cand = [k for k in range(base + 1, base + max_objs_per_scene)
+                    if obj_mask[k]]
+            if not cand:
+                continue
+            k = int(rng.choice(cand))
+            enc_to_dec[k] = -1
+            added_mask[k] = True
+            touches = (triples[:, 0] == k) | (triples[:, 2] == k)
+            enc_pred_mask &= ~touches
+
     return {
-        "enc_objs": objs, "enc_triples": triples, "enc_text_feat": text_feat,
-        "enc_rel_feat": rel_feat, "enc_pred_mask": pred_mask,
+        "enc_objs": np.where(added_mask, 0, objs).astype(np.int32),
+        "enc_triples": triples, "enc_text_feat": text_feat,
+        "enc_rel_feat": rel_feat, "enc_pred_mask": enc_pred_mask,
         "dec_objs": objs, "dec_triples": triples, "dec_text_feat": text_feat,
         "dec_rel_feat": rel_feat, "dec_pred_mask": pred_mask,
         "dec_boxes": boxes, "dec_objs_to_scene": scene_ids,
-        "enc_to_dec": np.arange(N, dtype=np.int32),
+        "enc_to_dec": enc_to_dec,
         "changed_mask": np.zeros((N,), bool),
+        "added_mask": added_mask,
         "obj_mask": obj_mask, "n_scenes": np.int32(n_scenes),
     }
 
@@ -233,3 +257,15 @@ def relation_satisfaction(boxes7: np.ndarray, graph: Dict[str, np.ndarray]
             continue
         total += 1
     return ok / max(total, 1)
+
+
+def added_relation_satisfaction(boxes7: np.ndarray,
+                                graph: Dict[str, np.ndarray]) -> float:
+    """relation_satisfaction restricted to triples that involve an ADDED node
+    (enc_to_dec == -1): the manipulation metric — did the model place the
+    node it had to synthesize consistently with the requested relations?"""
+    added = graph["enc_to_dec"] < 0
+    tri = graph["dec_triples"]
+    keep = graph["dec_pred_mask"] & (added[tri[:, 0]] | added[tri[:, 2]])
+    sub = {"dec_triples": tri, "dec_pred_mask": keep}
+    return relation_satisfaction(boxes7, sub)

@@ -53,9 +53,16 @@ def main():
     p.add_argument("--n-eval", type=int, default=64, help="held-out batches")
     p.add_argument("--sample-steps", type=int, default=100)
     p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--manipulate", action="store_true",
+                   help="with_changes supervision: the encoder graph omits "
+                        "one node per scene, the model must synthesize it "
+                        "from its relations; adds the added-node relation "
+                        "satisfaction metric (the manipulation story)")
     p.add_argument("--out", default="NORTHSTAR_LAYOUT.json")
     p.add_argument("--workdir", default="./runs/northstar_layout")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--small", action="store_true",
+                   help="128-ch model, 256 timesteps (CPU-budget)")
     p.add_argument("--tiny", action="store_true", help="CI-sized smoke")
     args = p.parse_args()
 
@@ -68,7 +75,8 @@ def main():
     import optax
 
     from lidar_layout_tpu.data.layout_synthetic import (
-        CAR, denormalize_boxes7, relation_satisfaction, traffic_graph_batch)
+        CAR, added_relation_satisfaction, denormalize_boxes7,
+        relation_satisfaction, traffic_graph_batch)
     from lidar_layout_tpu.models.layout_diffusion import (
         LayoutDiffusion, LayoutDiffusionConfig)
     from lidar_layout_tpu.models.unet1d import UNet1DConfig
@@ -84,6 +92,11 @@ def main():
         unet_cfg = UNet1DConfig(model_channels=64, num_res_blocks=1,
                                 num_preds=8)
         cfg = LayoutDiffusionConfig(timesteps=64)
+    elif args.small:
+        # CPU-budget model at full training scale (timesteps 256)
+        unet_cfg = UNet1DConfig(model_channels=128, num_res_blocks=1,
+                                num_preds=8)
+        cfg = LayoutDiffusionConfig(timesteps=256)
     else:
         unet_cfg = UNet1DConfig(num_preds=8)  # layout_nusc.yaml size
         cfg = LayoutDiffusionConfig()
@@ -95,10 +108,12 @@ def main():
     print(f"[layout-ns] building {args.pool}-batch training pool...",
           flush=True)
     batches = [traffic_graph_batch(np.random.default_rng(i),
-                                   n_scenes=args.n_scenes)
+                                   n_scenes=args.n_scenes,
+                                   with_changes=args.manipulate)
                for i in range(args.pool)]
     heldout = [traffic_graph_batch(np.random.default_rng(100_000 + i),
-                                   n_scenes=args.n_scenes)
+                                   n_scenes=args.n_scenes,
+                                   with_changes=args.manipulate)
                for i in range(args.n_eval)]
     n_scenes_static = int(batches[0]["n_scenes"])
 
@@ -187,6 +202,16 @@ def main():
     rel_tr, xy_tr, size_tr = score(trained_boxes)
     rel_rd, xy_rd, size_rd = score(random_boxes)
 
+    added_rel = None
+    if args.manipulate:
+        def added_score(box_list):
+            vals = [added_relation_satisfaction(b, g)
+                    for b, g in zip(box_list, heldout)]
+            return round(float(np.mean(vals)), 4)
+        added_rel = {"data_ceiling": added_score(data_boxes),
+                     "trained": added_score(trained_boxes),
+                     "random_weights": added_score(random_boxes)}
+
     def lane_metrics(xy):
         return {"jsd_y": round(jsd_hist(xy[:, 1], xy_data[:, 1], 40, -10, 10), 4),
                 "jsd_x": round(jsd_hist(xy[:, 0], xy_data[:, 0], 40, -35, 35), 4)}
@@ -208,6 +233,8 @@ def main():
                 "trained": round(float(np.abs(size_tr - mean_size).mean()), 4),
                 "random_weights": round(
                     float(np.abs(size_rd - mean_size).mean()), 4)},
+            **({"added_node_relation_satisfaction": added_rel}
+               if added_rel else {}),
         },
         "hardware": str(jax.devices()[0].platform),
         "total_seconds": round(time.perf_counter() - t_start, 1),

@@ -271,3 +271,29 @@ class TestTrafficDistribution:
         shuffled = boxes.copy()
         shuffled[:, 3:5] = rng.permutation(shuffled[:, 3:5])
         assert relation_satisfaction(shuffled, g) < 0.8
+
+    def test_with_changes_drops_one_enc_node_per_scene(self):
+        from lidar_layout_tpu.data.layout_synthetic import (
+            added_relation_satisfaction, denormalize_boxes7,
+            traffic_graph_batch)
+
+        g = traffic_graph_batch(np.random.default_rng(3), n_scenes=4,
+                                with_changes=True)
+        added = g["enc_to_dec"] < 0
+        # at most one added node per scene, never the ego slot
+        for s in range(4):
+            sl = slice(s * 8, (s + 1) * 8)
+            assert added[sl].sum() <= 1
+            assert not added[s * 8]
+        # added nodes are real objects, present in the decoder graph
+        assert (g["obj_mask"][added]).all()
+        assert (g["dec_objs"][added] > 0).all()
+        # their enc rows are cleared and their enc triples masked
+        assert (g["enc_objs"][added] == 0).all()
+        tri = g["enc_triples"]
+        touches = added[tri[:, 0]] | added[tri[:, 2]]
+        assert not (g["enc_pred_mask"] & touches).any()
+        # the dec graph still supervises them (metric ceiling = 1)
+        boxes = denormalize_boxes7(g["dec_boxes"])
+        if (g["dec_pred_mask"] & (added[tri[:, 0]] | added[tri[:, 2]])).any():
+            assert added_relation_satisfaction(boxes, g) == 1.0
