@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..nn.blocks import (AttnBlock, Downsample, Normalize, ResnetBlock, Upsample,
-                         make_attn, nonlinearity)
+                         make_attn)
 from ..nn.conv import CircularConv, Conv1x1
 from ..nn.quantize import VectorQuantizer
 
@@ -86,8 +86,7 @@ class Encoder(nn.Module):
                         dtype=self.dtype, name="mid_block_2")(
             h, deterministic=deterministic)
 
-        h = Normalize(name="norm_out")(h)
-        h = nonlinearity(h)
+        h = Normalize(act=True, name="norm_out")(h)
         z_ch = 2 * cfg.z_channels if cfg.double_z else cfg.z_channels
         return CircularConv(z_ch, (3, 3), (1, 1), 1, wrap=cfg.circular,
                             dtype=self.dtype, name="conv_out")(h)
@@ -140,8 +139,7 @@ class Decoder(nn.Module):
         if cfg.give_pre_end:
             return h
 
-        h = Normalize(name="norm_out")(h)
-        h = nonlinearity(h)
+        h = Normalize(act=True, name="norm_out")(h)
         prefinal = h  # input to the last layer; the adaptive GAN weight
         # (vqperceptual.py:74-85) differentiates the losses w.r.t. conv_out only
         h = CircularConv(cfg.out_ch, (1, 4), (1, 1), (1, 2, 0, 0),

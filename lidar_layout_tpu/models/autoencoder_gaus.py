@@ -75,9 +75,8 @@ class GausDecoder(nn.Module):
         h = Decoder(tower_cfg, dtype=self.dtype, name="tower")(
             z, deterministic=deterministic)
         # norm_out + nonlinearity as in the torch decoder end
-        from ..nn.blocks import Normalize, nonlinearity
-        h = Normalize(name="norm_out")(h)
-        h = nonlinearity(h)
+        from ..nn.blocks import Normalize
+        h = Normalize(act=True, name="norm_out")(h)
 
         rot = GausParamHead(4, dtype=self.dtype, name="rot_out")(h)
         rot = rot + jnp.asarray([1.0, 0, 0, 0], rot.dtype)  # identity bias

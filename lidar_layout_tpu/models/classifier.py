@@ -52,8 +52,7 @@ class EncoderUNetModel(nn.Module):
             if level != len(cfg.channel_mult) - 1:
                 h = UNetDown(cfg.cconv, name=f"down_{level}")(h)
 
-        h = Normalize(name="norm_out")(h)
-        h = nonlinearity(h)
+        h = Normalize(act=True, name="norm_out")(h)
         pooled = h.mean(axis=(1, 2))  # spatial pool
         return nn.Dense(cfg.num_classes, name="head")(pooled)
 

@@ -178,8 +178,7 @@ class LayoutDiffusionUNetModel(nn.Module):
                 h = UNetUp(cfg.cconv, dtype=self.dtype, name=f"up_{level}")(h)
                 ds //= 2
 
-        h = Normalize(name="norm_out")(h)
-        h = nonlinearity(h)
+        h = Normalize(act=True, name="norm_out")(h)
         if cfg.cconv:
             out = CircularConvZero(cfg.out_channels, dtype=self.dtype,
                                    name="conv_out")(h)

@@ -134,13 +134,11 @@ class EffResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, emb: Array) -> Array:
-        h = Normalize(name="n1")(x)
-        h = nonlinearity(h)
+        h = Normalize(act=True, name="n1")(x)
         h = CircularConv(self.out_channels, (3, 3), (1, 1), 1, name="c1")(h)
         h = h + nn.Dense(self.out_channels, name="emb")(nonlinearity(emb)
                                                         )[:, None, None, :]
-        h = Normalize(name="n2")(h)
-        h = nonlinearity(h)
+        h = Normalize(act=True, name="n2")(h)
         h = CircularConv(self.out_channels, (3, 3), (1, 1), 1, name="c2")(h)
         if x.shape[-1] != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), name="skip")(x)
@@ -204,8 +202,7 @@ class EfficientUNet(nn.Module):
                 hh = jax.image.resize(hh, (bb, hh_ * 2, ww_ * 2, cc), "nearest")
                 hh = CircularConv(ch, (3, 3), (1, 1), 1, name=f"up_{lvl}_conv")(hh)
 
-        hh = Normalize(name="norm_out")(hh)
-        hh = nonlinearity(hh)
+        hh = Normalize(act=True, name="norm_out")(hh)
         return nn.Conv(cfg.channels, (3, 3), padding=[(1, 1), (1, 1)],
                        kernel_init=nn.initializers.zeros, name="conv_out")(hh)
 

@@ -111,8 +111,7 @@ class ResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, emb: Array, deterministic: bool = True) -> Array:
-        h = Normalize(name="in_norm")(x)
-        h = nonlinearity(h)
+        h = Normalize(act=True, name="in_norm")(x)  # fused GroupNorm+SiLU
         if self.up:
             h, x = _nearest_up2(h), _nearest_up2(x)
         elif self.down:
@@ -126,10 +125,10 @@ class ResBlock(nn.Module):
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
             h = Normalize(name="out_norm")(h) * (1 + scale) + shift
+            h = nonlinearity(h)
         else:
             h = h + emb_out
-            h = Normalize(name="out_norm")(h)
-        h = nonlinearity(h)
+            h = Normalize(act=True, name="out_norm")(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = _conv3(self.out_channels, self.cconv, self.dtype, "out_conv",
                    zero_init=True)(h)
@@ -284,8 +283,7 @@ class UNetModel(nn.Module):
                                name=f"up_{level}")(h)
                 ds //= 2
 
-        h = Normalize(name="norm_out")(h)
-        h = nonlinearity(h)
+        h = Normalize(act=True, name="norm_out")(h)
         if cfg.cconv:
             out = CircularConvZero(cfg.out_channels, dtype=self.dtype,
                                    name="conv_out")(h)
