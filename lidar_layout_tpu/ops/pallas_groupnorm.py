@@ -69,14 +69,21 @@ def _kernel(x_ref, g_ref, b_ref, o_ref, *, num_groups: int, eps: float,
     grp = jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 1)
     onehot = (col_g == grp).astype(jnp.float32)
 
+    # f32 operands: force multi-pass MXU (Mosaic's default is 1-pass bf16,
+    # ~1e-2 relative error — fatal for stats summed over N*cg elements)
+    hi = jax.lax.Precision.HIGHEST
     inv_cnt = 1.0 / (n * cg)
-    gmean = jnp.dot(s1, onehot, preferred_element_type=jnp.float32) * inv_cnt
-    gsq = jnp.dot(s2, onehot, preferred_element_type=jnp.float32) * inv_cnt
+    gmean = jnp.dot(s1, onehot, preferred_element_type=jnp.float32,
+                    precision=hi) * inv_cnt
+    gsq = jnp.dot(s2, onehot, preferred_element_type=jnp.float32,
+                  precision=hi) * inv_cnt
     gvar = gsq - gmean * gmean                     # (1, G)
 
-    mean_c = jnp.dot(gmean, onehot.T, preferred_element_type=jnp.float32)
+    mean_c = jnp.dot(gmean, onehot.T, preferred_element_type=jnp.float32,
+                     precision=hi)
     rstd_c = jnp.dot(jax.lax.rsqrt(gvar + eps), onehot.T,
-                     preferred_element_type=jnp.float32)  # (1, C)
+                     preferred_element_type=jnp.float32,
+                     precision=hi)  # (1, C)
 
     scale = g_ref[0] * rstd_c                      # (1, C) f32
     shift = b_ref[0] - mean_c * scale
