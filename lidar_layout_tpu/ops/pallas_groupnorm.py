@@ -35,7 +35,12 @@ import jax.numpy as jnp
 
 Array = jax.Array
 
-_VMEM_BLOCK_LIMIT = 6 * 1024 * 1024  # leave headroom in ~16 MB VMEM
+# Input-block budget. The kernel's f32 intermediates (xf, y) can be
+# materialized by Mosaic at 2x a bf16 block each, plus the output block —
+# budget the INPUT at ~3 MB so worst-case VMEM stays well under 16 MB.
+# (All U-Net norm blocks are <=1 MB; only the AE decoder's largest
+# spatial layers fall back to XLA, and decode is ~2% of sampling time.)
+_VMEM_BLOCK_LIMIT = 3 * 1024 * 1024
 
 
 def _ref(x: Array, gamma: Array, beta: Array, num_groups: int, eps: float,
