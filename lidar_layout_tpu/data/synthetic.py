@@ -14,7 +14,22 @@ from ..ops.lidar import LidarGeometry, KITTI_GEOMETRY
 
 
 def synthetic_scene(rng: np.random.Generator, n_points: int = 120000) -> np.ndarray:
-    """Return (N, 3) float32 points of a synthetic street scene."""
+    """Return (N, 3) float32 points of a synthetic street scene.
+
+    Identical RNG consumption to :func:`synthetic_scene_labeled`, so the two
+    produce bit-identical geometry for the same generator state.
+    """
+    return synthetic_scene_labeled(rng, n_points)[0]
+
+
+def synthetic_scene_labeled(rng: np.random.Generator, n_points: int = 120000
+                            ) -> Tuple[np.ndarray, np.ndarray]:
+    """(N, 3) points + (N,) int32 semantic labels (0 ground, 1 box, 2 pole).
+
+    Same generative process as :func:`synthetic_scene`, with per-point class
+    ids so a semantic range map can be projected for conditional training
+    (the sem-map conditioning task, kitti.py:111-124 one-hot maps).
+    """
     n_ground = int(n_points * 0.6)
     r = np.sqrt(rng.uniform(4.0, 2500.0, n_ground))
     th = rng.uniform(-np.pi, np.pi, n_ground)
@@ -36,7 +51,11 @@ def synthetic_scene(rng: np.random.Generator, n_points: int = 120000) -> np.ndar
     px, py = rng.uniform(-30, 30, (2, max(n_pole, 1)))
     poles = np.stack([px, py, rng.uniform(-2.0, 4.0, max(n_pole, 1))], axis=-1)
 
-    return np.concatenate([ground] + boxes + [poles]).astype(np.float32)[:n_points]
+    pts = np.concatenate([ground] + boxes + [poles]).astype(np.float32)
+    labels = np.concatenate([np.zeros(n_ground, np.int32),
+                             np.ones(per_box * n_box, np.int32),
+                             np.full(max(n_pole, 1), 2, np.int32)])
+    return pts[:n_points], labels[:n_points]
 
 
 def synthetic_range_batch(rng: np.random.Generator, batch: int,

@@ -101,7 +101,7 @@ class LatentDiffusion:
         if self.cond_stage is not None and cond_example is not None:
             cond_params = self.cond_stage.init(r3, cond_example)
             cond_out = self.cond_stage.apply(cond_params, cond_example)
-            context, concat, y = self._split_cond(cond_out)
+            context, concat, y = self._cond_views(cond_out)
 
         if self.cfg.conditioning_key == "layout_crossattn" \
                 and isinstance(cond_out, dict) and "xf_proj" in cond_out:
@@ -202,18 +202,15 @@ class LatentDiffusion:
             return cond.get("c_crossattn"), cond.get("c_concat"), cond.get("c_adm")
         return cond, None, None  # bare array: meaning depends on conditioning_key
 
-    def apply_model(self, params, x_noisy: Array, t: Array, cond: Any = None,
-                    deterministic: bool = True, rngs=None) -> Array:
-        """DiffusionWrapper dispatch (ddpm.py:2313-2339)."""
+    def _cond_views(self, cond: Any
+                    ) -> Tuple[Optional[Array], Optional[Array], Optional[Array]]:
+        """(context, concat, label) per conditioning_key — a bare-array cond
+        means concat for 'concat', context for '*crossattn', label for 'adm'
+        (DiffusionWrapper semantics, ddpm.py:2313-2339). Used by BOTH init and
+        apply_model so the U-Net is created with the channels it will see."""
         key = self.cfg.conditioning_key
         context = concat = y = None
-        if key == "layout_crossattn" and isinstance(cond, dict) \
-                and "xf_proj" in cond:
-            # object-aware cross-attention U-Net consumes the layout-encoder
-            # output dict directly (ddpm.py:2334-2336 'layout_crossattn')
-            return self.unet.apply(params["unet"], x_noisy, t, cond,
-                                   deterministic=deterministic, rngs=rngs)
-        if key is None:
+        if key is None or cond is None:
             pass
         elif key == "concat":
             _, concat, _ = self._split_cond(cond)
@@ -229,6 +226,19 @@ class LatentDiffusion:
                 y = cond
         else:
             raise NotImplementedError(key)
+        return context, concat, y
+
+    def apply_model(self, params, x_noisy: Array, t: Array, cond: Any = None,
+                    deterministic: bool = True, rngs=None) -> Array:
+        """DiffusionWrapper dispatch (ddpm.py:2313-2339)."""
+        key = self.cfg.conditioning_key
+        if key == "layout_crossattn" and isinstance(cond, dict) \
+                and "xf_proj" in cond:
+            # object-aware cross-attention U-Net consumes the layout-encoder
+            # output dict directly (ddpm.py:2334-2336 'layout_crossattn')
+            return self.unet.apply(params["unet"], x_noisy, t, cond,
+                                   deterministic=deterministic, rngs=rngs)
+        context, concat, y = self._cond_views(cond)
 
         def core(x, cc):
             x_in = x if cc is None else jnp.concatenate([x, cc], axis=-1)

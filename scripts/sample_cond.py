@@ -49,9 +49,11 @@ def main():
         mc, mult, nrb = 256, (1, 2, 4), 2
 
     if args.task == "map2lidar":
-        # semantic map -> downsampled one-hot concat conditioning
-        cond_stage = SpatialRescaler(n_stages=2, out_channels=num_sem,
-                                     wh_factors=(0.5, 0.125))
+        # semantic map -> downsampled one-hot concat conditioning; the latent
+        # is H/4 x W/8 of the image (curve-wise c2 + patch-wise p4 strides),
+        # so one asymmetric stage lands exactly on the latent grid
+        cond_stage = SpatialRescaler(n_stages=1, out_channels=num_sem,
+                                     wh_factors=(0.25, 0.125))
         cond_key = "concat"
         in_ch = latent[2] + num_sem
         cond_example = jnp.zeros((1, image_shape[0], image_shape[1], num_sem))

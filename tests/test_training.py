@@ -334,3 +334,44 @@ class TestChunkedTraining:
         assert int(state.step) == 4
         assert np.isfinite(float(logs["rec_loss"]))
         assert np.isfinite(float(logs["disc_loss"]))
+
+
+class TestConcatConditioning:
+    def test_init_matches_apply_for_bare_concat(self):
+        """conditioning_key='concat' with a bare-array cond-stage output
+        (map2lidar: SpatialRescaler'd one-hot map): init must create the
+        U-Net with in_channels = z + map channels, exactly what apply_model
+        concatenates (regression: init used to route the bare array to
+        context, so the first conv was created 4 channels short)."""
+        from lidar_layout_tpu.encoders.modules import SpatialRescaler
+        from lidar_layout_tpu.models.unet import UNetConfig
+
+        n_sem = 4
+        cfg = DiffusionConfig(timesteps=32, latent_shape=(4, 8, 2),
+                              conditioning_key="concat")
+        ucfg = UNetConfig(in_channels=2 + n_sem, model_channels=16,
+                          out_channels=2, num_res_blocks=1,
+                          attention_resolutions=(2,), channel_mult=(1, 2),
+                          num_head_channels=8)
+        cond_stage = SpatialRescaler(n_stages=1, wh_factors=(0.25, 0.25))
+        model = LatentDiffusion(cfg, ucfg, first_stage_cfg=None,
+                                cond_stage=cond_stage)
+        cond_ex = jnp.zeros((1, 16, 32, n_sem))
+        params = model.init(jax.random.key(0), image_shape=(4, 8, 2),
+                            cond_example=cond_ex)
+        kernel = params["unet"]["params"]["conv_in"]["conv"]["kernel"]
+        assert kernel.shape[2] == 2 + n_sem
+
+        c = model.get_learned_conditioning(params, jnp.ones((3, 16, 32, n_sem)))
+        z = jnp.zeros((3, 4, 8, 2))
+        t = jnp.zeros((3,), jnp.int32)
+        out = model.apply_model(params, z, t, c)
+        assert out.shape == z.shape
+        assert np.isfinite(np.asarray(out)).all()
+
+        # a training step runs through batch['cond']
+        loss, _ = model.training_loss(
+            params, jax.random.key(1),
+            {"image": jnp.zeros((2, 4, 8, 2)),
+             "cond": jnp.ones((2, 16, 32, n_sem))})
+        assert np.isfinite(float(loss))
