@@ -273,6 +273,11 @@ def flash_attention(q: Array, k: Array, v: Array,
 
 
 def _supports_flash(q: Array, k: Array) -> bool:
+    """Gate on BSHD tensors: S in shape[-3], D in shape[-1].
+
+    (Regression guard: callers must pass the UN-swapped BSHD q/k — gating on
+    the BHSD-swapped views tests the heads axis against %128, which is never
+    true, silently routing every model attention to the XLA fallback.)"""
     return (q.shape[-3] == k.shape[-3] and q.shape[-3] % 128 == 0
             and q.shape[-1] <= 128 and q.shape[-1] % 8 == 0)
 
@@ -295,8 +300,8 @@ def attend(q: Array, k: Array, v: Array, mask: Optional[Array] = None
     routes self-attention-shaped inputs (incl. key-padding-masked ones)
     through the Pallas kernel on TPU, everything else (non-key-padding
     masks / cross-length / ragged-D) through XLA."""
-    qh, kh, vh = (t.swapaxes(1, 2) for t in (q, k, v))
-    if _supports_flash(qh, kh):
+    if _supports_flash(q, k):  # gate on BSHD: S at [-3], D at [-1]
+        qh, kh, vh = (t.swapaxes(1, 2) for t in (q, k, v))
         if mask is None:
             return flash_attention(qh, kh, vh).swapaxes(1, 2)
         kb = _key_padding_bias(mask, qh.shape[0], kh.shape[-2])

@@ -156,3 +156,43 @@ def test_unet_attention_block_still_correct():
     out = blk.apply(params, x)
     assert out.shape == x.shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_supports_flash_gates_on_bshd_model_shapes():
+    """The gate must accept the models' actual BSHD shapes (S%128==0, small
+    heads) and attend must consult it BEFORE the BHSD swap (regression:
+    gating on the swapped views tested the heads axis against %128, which is
+    never true, silently sending all model attention to the XLA fallback)."""
+    from lidar_layout_tpu.ops.pallas_attention import _supports_flash
+
+    # flagship U-Net full-res self-attention: B=16, S=2048, H=8, D=32 (BSHD)
+    q = jnp.zeros((16, 2048, 8, 32))
+    assert _supports_flash(q, q)
+    # PT-v3 patch attention: S=1024 patches
+    q = jnp.zeros((4, 1024, 6, 32))
+    assert _supports_flash(q, q)
+    # the swapped (BHSD) views must NOT pass — that was the bug
+    assert not _supports_flash(q.swapaxes(1, 2), q.swapaxes(1, 2))
+
+
+def test_attend_routes_model_shapes_to_kernel(monkeypatch):
+    """attend() must call the fused path for kernel-eligible BSHD inputs."""
+    from lidar_layout_tpu.ops import pallas_attention as pa
+
+    calls = {"flash": 0}
+    real = pa.flash_attention
+
+    def spy(q, k, v, kbias=None):
+        calls["flash"] += 1
+        return real(q, k, v, kbias)
+
+    monkeypatch.setattr(pa, "flash_attention", spy)
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(2, 256, 4, 32)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(2, 256, 4, 32)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(2, 256, 4, 32)), jnp.float32)
+    out = pa.attend(q, k, v)
+    assert calls["flash"] == 1
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(jax.nn.dot_product_attention(q, k, v)),
+        atol=2e-6)
