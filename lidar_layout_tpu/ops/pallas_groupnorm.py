@@ -82,7 +82,10 @@ def _kernel(x_ref, g_ref, b_ref, o_ref, *, num_groups: int, eps: float,
                     precision=hi) * inv_cnt
     gsq = jnp.dot(s2, onehot, preferred_element_type=jnp.float32,
                   precision=hi) * inv_cnt
-    gvar = gsq - gmean * gmean                     # (1, G)
+    # E[x^2]-E[x]^2 can go slightly negative from f32 cancellation on
+    # near-constant large-mean blocks (the two-pass _ref formula cannot);
+    # clamp so rsqrt stays finite
+    gvar = jnp.maximum(gsq - gmean * gmean, 0.0)   # (1, G)
 
     mean_c = jnp.dot(gmean, onehot.T, preferred_element_type=jnp.float32,
                      precision=hi)

@@ -101,3 +101,14 @@ def test_normalize_module_param_paths_unchanged():
     assert set(v["params"].keys()) == {"GroupNorm_0"}
     assert set(v["params"]["GroupNorm_0"].keys()) == {"scale", "bias"}
     assert v["params"]["GroupNorm_0"]["scale"].shape == (256,)
+
+
+def test_near_constant_large_mean_block_stays_finite():
+    """E[x^2]-E[x]^2 cancellation on a near-constant large-mean block must
+    not produce NaN via rsqrt of a negative variance."""
+    x = (jnp.full((1, 8, 16, 128), 200.0, jnp.float32)
+         + jax.random.normal(jax.random.key(0), (1, 8, 16, 128)) * 1e-3)
+    gamma = jnp.ones((128,), jnp.float32)
+    beta = jnp.zeros((128,), jnp.float32)
+    got = group_norm_interpret(x, gamma, beta, 32, 1e-6, True)
+    assert np.isfinite(np.asarray(got)).all()
