@@ -428,11 +428,15 @@ class SemanticKITTIRangeDataset:
                 if split == "train" else ["08"])
         self.files: List[str] = []
         for s in seqs:
-            self.files.extend(sorted(glob.glob(os.path.join(
-                root, "dataset", "sequences", s, "velodyne", "*.bin"))))
-            if not self.files:
-                self.files.extend(sorted(glob.glob(os.path.join(
-                    root, "sequences", s, "velodyne", "*.bin"))))
+            # per-sequence fallback: a root without the dataset/ prefix must
+            # fall back for EVERY sequence, not only while self.files is
+            # still empty (which silently kept only the first sequence)
+            hits = sorted(glob.glob(os.path.join(
+                root, "dataset", "sequences", s, "velodyne", "*.bin")))
+            if not hits:
+                hits = sorted(glob.glob(os.path.join(
+                    root, "sequences", s, "velodyne", "*.bin")))
+            self.files.extend(hits)
 
     def __len__(self):
         return len(self.files)

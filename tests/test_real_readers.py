@@ -222,6 +222,26 @@ class TestSemanticKITTI:
         seg = ds[0]["segmentation"]
         assert seg[..., 1].sum() == 0
 
+    def test_flat_layout_loads_every_sequence(self, tmp_path):
+        """A root without the dataset/ prefix must fall back per SEQUENCE
+        (regression: the fallback was gated on self.files being empty, so
+        only the first sequence ever loaded from a flat tree)."""
+        rng = np.random.default_rng(4)
+        root = tmp_path / "semkitti_flat"
+        for seq in ("00", "01", "02"):
+            vdir = root / "sequences" / seq / "velodyne"
+            ldir = root / "sequences" / seq / "labels"
+            vdir.mkdir(parents=True)
+            ldir.mkdir(parents=True)
+            pts = make_cloud(rng, 600)
+            np.concatenate([pts, rng.uniform(0, 1, (600, 1)).astype(
+                np.float32)], 1).tofile(str(vdir / "000000.bin"))
+            labels = rng.choice(np.asarray([0, 10, 30], np.uint32),
+                                600).astype(np.uint32)
+            labels.tofile(str(ldir / "000000.label"))
+        ds = SemanticKITTIRangeDataset(str(root), split="train", geom=GEOM)
+        assert len(ds) == 3  # one scan per sequence, all sequences found
+
 
 BBOX_XML = """<?xml version="1.0"?>
 <opencv_storage>
