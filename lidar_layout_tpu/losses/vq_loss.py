@@ -139,7 +139,11 @@ def assemble_disc_input(cfg: VQLossConfig, geo: GeoConverter, imgs: Array,
         if cfg.mask_factor > 0 and masks is not None:
             feats = [imgs, masks]
     if cfg.geo_factor > 0:
-        coord = geo(rng_ch)
+        # UNcompressed per-pixel coords: curve compression (W/curve_length)
+        # cannot concat with the full-width image — the reference's own
+        # torch.cat (vqperceptual.py:159) has the same latent mismatch, which
+        # never fires because every shipped config uses curve_length=1.
+        coord = geo.range2xyz(rng_ch * 0.5 + 0.5)
         feats.append(coord[..., :2])
     return jnp.concatenate(feats, axis=-1) if len(feats) > 1 else feats[0]
 

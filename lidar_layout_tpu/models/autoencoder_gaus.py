@@ -113,6 +113,16 @@ class VQModelGaus(VQModel):
         dec, gaus = self.decode_gaussians(quant, deterministic=deterministic)
         return dec, diff, ind, gaus
 
+    def forward_with_prefinal_gaus(self, x: Array, deterministic: bool = True):
+        """forward_with_prefinal + the gaussian head (for the s2 loss in the
+        two-optimizer trainer; vqperceptual.py:217-273 forward_s2)."""
+        quant, diff, ind = self.encode(x, deterministic=deterministic)
+        hq = self.post_quant_conv(quant)
+        dec, prefinal = self.decoder(hq, deterministic=deterministic,
+                                     return_prefinal=True)
+        gaus = self.gaus_decoder(hq, deterministic=deterministic)
+        return dec, diff, ind, prefinal, gaus
+
 
 def render_range_from_gaussians(dec_range: Array, gaus: Dict[str, Array],
                                 geom: LidarGeometry,

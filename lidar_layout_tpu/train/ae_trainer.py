@@ -61,7 +61,7 @@ def create_ae_state(model: VQModel, disc: nn.Module, rng: Array,
     rg, rd = jax.random.split(rng)
     x = jnp.zeros((1, *image_shape))
     params_g = model.init(rg, x)
-    dec, _, _ = model.apply(params_g, x)
+    dec = model.apply(params_g, x)[0]  # gaus forward returns a 4-tuple
     disc_in = assemble_disc_input(loss_cfg, geo, dec, None, is_recon=True)
     params_d = disc.init(rd, disc_in)
     return AETrainState(params_g=params_g, params_d=params_d,
@@ -71,30 +71,56 @@ def create_ae_state(model: VQModel, disc: nn.Module, rng: Array,
 
 def _make_raw_ae_step(model: VQModel, disc: nn.Module, loss_cfg: VQLossConfig,
                       geo: GeoConverter, tx_g, tx_d,
-                      perceptual_fn: Optional[Callable] = None) -> Callable:
+                      perceptual_fn: Optional[Callable] = None,
+                      s2_render: bool = False, s2_geom=None,
+                      s2_factor: float = 1.0) -> Callable:
     """Unjitted step(state, batch, rng) -> (state, logs).
 
     When the AE config has dropout > 0 the generator pass runs with
     deterministic=False and the step rng feeds the dropout collection
-    (the round-1 step silently disabled dropout for all configs)."""
+    (the round-1 step silently disabled dropout for all configs).
+
+    ``s2_render`` (VQModelGaus): the generator also decodes per-pixel gaussian
+    params, re-renders the panorama and adds the forward_s2 loss
+    (autoencoder_gaus.py:85-107 + vqperceptual.py:217-273)."""
     d_loss_fn = hinge_d_loss if loss_cfg.disc_loss == "hinge" else vanilla_d_loss
     out_ch = model.cfg.out_ch
     last_conv = CircularConv(out_ch, (1, 4), (1, 1), (1, 2, 0, 0))
     use_dropout = model.cfg.dropout > 0.0
 
+    if s2_render:
+        from ..models.autoencoder_gaus import (VQModelGaus,
+                                               render_range_from_gaussians,
+                                               s2_loss)
+        from ..ops.lidar import depth_to_model
+        assert s2_geom is not None, "s2_render needs the LidarGeometry"
+
     def nll_from_dec(dec, x, masks):
         return reconstruction_nll(loss_cfg, geo, x, dec, masks,
                                   perceptual_fn=perceptual_fn)
 
+    def _forward(params_g, x, rng):
+        kw = (dict(deterministic=False, rngs={"dropout": rng})
+              if use_dropout else {})
+        if s2_render:
+            dec, qloss, ind, prefinal, gaus = model.apply(
+                params_g, x, method=VQModelGaus.forward_with_prefinal_gaus,
+                **kw)
+            return dec, qloss, ind, prefinal, gaus
+        dec, qloss, ind, prefinal = model.apply(
+            params_g, x, method=VQModel.forward_with_prefinal, **kw)
+        return dec, qloss, ind, prefinal, None
+
     def gen_loss(params_g, params_d, x, masks, global_step, rng):
-        if use_dropout:
-            dec, qloss, ind, prefinal = model.apply(
-                params_g, x, method=VQModel.forward_with_prefinal,
-                deterministic=False, rngs={"dropout": rng})
-        else:
-            dec, qloss, ind, prefinal = model.apply(
-                params_g, x, method=VQModel.forward_with_prefinal)
+        dec, qloss, ind, prefinal, gaus = _forward(params_g, x, rng)
         nll, parts = nll_from_dec(dec, x, masks)
+        if s2_render:
+            rend = render_range_from_gaussians(dec[..., :1], gaus, s2_geom)
+            rend_model = depth_to_model(rend["rendered_range"],
+                                        s2_geom)[..., None]
+            s2, s2_parts = s2_loss(geo, x, rend_model)
+            nll = nll + s2_factor * s2
+            parts.update(s2_parts)
 
         disc_recon = assemble_disc_input(loss_cfg, geo, dec, masks, is_recon=True)
         logits_fake = disc.apply(params_d, disc_recon)
@@ -162,23 +188,27 @@ def _make_raw_ae_step(model: VQModel, disc: nn.Module, loss_cfg: VQLossConfig,
 
 def make_ae_train_step(model: VQModel, disc: nn.Module, loss_cfg: VQLossConfig,
                        geo: GeoConverter, tx_g, tx_d,
-                       perceptual_fn: Optional[Callable] = None) -> Callable:
+                       perceptual_fn: Optional[Callable] = None,
+                       s2_render: bool = False, s2_geom=None) -> Callable:
     """Returns jitted step(state, batch, rng) -> (state, logs)."""
     return jax.jit(_make_raw_ae_step(model, disc, loss_cfg, geo, tx_g, tx_d,
-                                     perceptual_fn=perceptual_fn))
+                                     perceptual_fn=perceptual_fn,
+                                     s2_render=s2_render, s2_geom=s2_geom))
 
 
 def make_chunked_ae_train_step(model: VQModel, disc: nn.Module,
                                loss_cfg: VQLossConfig, geo: GeoConverter,
                                tx_g, tx_d, batch_fn: Callable, n_inner: int,
                                perceptual_fn: Optional[Callable] = None,
-                               donate: bool = False) -> Callable:
+                               donate: bool = False,
+                               s2_render: bool = False, s2_geom=None) -> Callable:
     """Scan-chunked AE training: step(state, rng) runs ``n_inner`` generator+
     discriminator updates in one XLA program, micro-batches built on device by
     ``batch_fn(rng) -> batch`` (see diffusion_trainer.chunk_steps)."""
     from .diffusion_trainer import chunk_steps
     raw = _make_raw_ae_step(model, disc, loss_cfg, geo, tx_g, tx_d,
-                            perceptual_fn=perceptual_fn)
+                            perceptual_fn=perceptual_fn,
+                            s2_render=s2_render, s2_geom=s2_geom)
     return chunk_steps(raw, batch_fn, n_inner, donate=donate)
 
 
@@ -193,7 +223,8 @@ def make_ae_val_step(model: VQModel, loss_cfg: VQLossConfig,
                  ) -> Dict[str, Array]:
         x = batch["image"]
         masks = batch.get("mask") if loss_cfg.mask_factor > 0 else None
-        dec, qloss, _ = model.apply(state.params_g, x)
+        out = model.apply(state.params_g, x)  # gaus forward returns a 4-tuple
+        dec, qloss = out[0], out[1]
         nll, parts = reconstruction_nll(loss_cfg, geo, x, dec, masks,
                                         perceptual_fn=perceptual_fn)
         return {"rec_loss": parts["rec_loss"], "nll_loss": nll,

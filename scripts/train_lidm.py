@@ -153,8 +153,12 @@ def main():
                                     max(args.steps // 5, 1)))
     render_fn = None
 
-    if "autoencoder" in target or target in ("vq_model",):
-        model = instantiate_from_config(model_cfg, dtype=dtype)
+    model = instantiate_from_config(model_cfg, dtype=dtype)
+    from lidar_layout_tpu.models.autoencoder import VQModel
+    from lidar_layout_tpu.models.autoencoder_gaus import VQModelGaus
+    from lidar_layout_tpu.models.diffusion import LatentDiffusion
+
+    if isinstance(model, VQModel) and not isinstance(model, VQModelGaus):
         from lidar_layout_tpu.train.ae_trainer import (create_ae_state,
                                                        make_ae_optimizers,
                                                        make_ae_train_step,
@@ -190,8 +194,7 @@ def main():
             x = val_cache[0]["image"]
             dec, _, _ = model.apply(state.params_g, x)
             return {"inputs": x, "reconstructions": dec[..., :1]}
-    else:
-        model = instantiate_from_config(model_cfg, dtype=dtype)
+    elif isinstance(model, LatentDiffusion):
         from lidar_layout_tpu.train.diffusion_trainer import (
             create_train_state, make_optimizer, make_train_step,
             make_val_step)
@@ -223,6 +226,18 @@ def main():
             def render_fn(state, rng):  # ImageLogger: the full log_images suite
                 return lidm_log_images(model, ema_params(model, state),
                                        val_cache[0], rng)
+    else:
+        # every other registered family (KL / gaus / object / cube / R2DM)
+        # routes through the per-family dispatch; previously these configs
+        # crashed in the LatentDiffusion branch
+        from lidar_layout_tpu.train.build import build_family_trainer
+        ft = build_family_trainer(model, model_cfg, seed=args.seed, lr=lr,
+                                  accumulate=accumulate, geom=geom)
+        if ft.state is None:  # data-shape-dependent init (cube families)
+            ft.state = ft.make_state(val_cache[0])
+        state, step, val_step = ft.state, ft.step, ft.val_step
+        monitor = ft.monitor
+        render_fn = ft.render_fn
 
     if args.resume:
         from lidar_layout_tpu.train.checkpoint import restore_checkpoint
