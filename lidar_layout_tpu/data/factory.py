@@ -233,11 +233,12 @@ def build_batches(target: str, params: Dict, dset_cfg: Dict,
                 ds = NuScenesLayoutDataset(str(root),
                                            params.get("split", "train"))
                 n = len(ds)
-                def gen():
-                    idx = rng.integers(0, n, batch_size)
-                    return ds.collate([int(i) for i in idx])
-                while True:
-                    yield gen()
+                if n > 0:  # empty infos pkl -> loud synthetic fallback below
+                    def gen():
+                        idx = rng.integers(0, n, batch_size)
+                        return ds.collate([int(i) for i in idx])
+                    while True:
+                        yield gen()
         yield from synth(f"no infos pkl under {root!r}",
                          lambda: synthetic_graph_batch(
                              rng, n_scenes=batch_size))

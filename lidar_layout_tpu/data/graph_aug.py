@@ -50,7 +50,8 @@ def remove_node(graph: Dict[str, np.ndarray], node: int
 
 
 def modify_relationship(graph: Dict[str, np.ndarray], rng: np.random.Generator,
-                        num_preds: int = 16, interpretable: bool = False
+                        num_preds: int = 16, interpretable: bool = False,
+                        node_range: Optional[Tuple[int, int]] = None
                         ) -> Tuple[Dict[str, np.ndarray], int]:
     """Change one live predicate in the encoder view; flag its endpoints
     (reference :388-441).
@@ -58,10 +59,16 @@ def modify_relationship(graph: Dict[str, np.ndarray], rng: np.random.Generator,
     ``interpretable=True`` (the eval mode) restricts to spatially
     interpretable predicates and applies the semantic opposite
     (left->right, bigger->smaller, ...); otherwise a random different
-    predicate in [0, 9) (reference :422)."""
+    predicate in [0, 9) (reference :422). ``node_range=(lo, hi)`` restricts
+    the candidate triples to one scene's slots in a batched graph."""
     g = {k: (v.copy() if isinstance(v, np.ndarray) else v)
          for k, v in graph.items()}
     live = np.flatnonzero(np.asarray(g["enc_pred_mask"]))
+    if node_range is not None:
+        lo, hi = node_range
+        tri = np.asarray(g["enc_triples"])
+        live = [t for t in live if lo <= int(tri[t, 0]) < hi
+                and lo <= int(tri[t, 2]) < hi]
     if interpretable:
         tri = np.asarray(g["enc_triples"])
         live = [t for t in live if int(tri[t, 1]) in INTERPRETABLE_RELS]
@@ -90,23 +97,33 @@ def random_manipulation(graph: Dict[str, np.ndarray],
                         p_remove: float = 0.5,
                         max_objs: int = 0,
                         mode: Optional[str] = None,
-                        info: Optional[dict] = None) -> Dict[str, np.ndarray]:
+                        info: Optional[dict] = None,
+                        scene: Optional[Tuple[int, int]] = None,
+                        interpretable: bool = False
+                        ) -> Dict[str, np.ndarray]:
     """One manipulation per call (the with_changes branch, reference
     :263-315): type in {'addition', 'relationship', 'none'} — uniform when
-    ``mode`` is None (training), or forced (eval's eval_type). Graphs with
-    <=2 valid objects are never manipulated.
+    ``mode`` is None (training), or forced (eval's eval_type, which also
+    switches the relationship change to the interpretable semantic flip).
+    Graphs with <=2 valid objects are never manipulated.
 
     ``max_objs`` is the per-scene slot count for batched graphs: every scene's
     slot 0 is its 'ego' row and is never removed (the reference excludes ego by
     class, nuscenes_layout_dataset.py:347). 0 means a single-scene graph.
+    ``scene=(lo, hi)`` restricts the draw to one scene's slots — the reference
+    manipulates once PER SCENE (its __getitem__), not once per batch; use
+    :func:`random_manipulation_batched` on collated graphs.
     ``info`` (optional dict) is filled with {'type', 'added_node_id',
     'changed_triple'} — the reference's output['manipulate'] record."""
     if info is None:
         info = {}
     valid_nodes = np.flatnonzero(np.asarray(graph["obj_mask"]))
+    if scene is not None:
+        lo, hi = scene
+        valid_nodes = valid_nodes[(valid_nodes >= lo) & (valid_nodes < hi)]
     if mode is None:
         mode = ["relationship", "addition", "none"][int(rng.integers(3))]
-    if len(valid_nodes) <= 2:
+    if len(valid_nodes) <= 2:  # per-scene guard when scene is given
         mode = "none"
 
     if mode == "addition":
@@ -119,10 +136,37 @@ def random_manipulation(graph: Dict[str, np.ndarray],
             return remove_node(graph, node)
         mode = "none"
     if mode == "relationship":
-        g, t = modify_relationship(graph, rng, num_preds)
+        g, t = modify_relationship(graph, rng, num_preds,
+                                   interpretable=interpretable,
+                                   node_range=scene)
         if t >= 0:
             info.update(type="relationship", changed_triple=t)
             return g
         mode = "none"
     info.update(type="none")
+    return graph
+
+
+def random_manipulation_batched(graph: Dict[str, np.ndarray],
+                                rng: np.random.Generator,
+                                max_objs: int, n_scenes: int,
+                                num_preds: int = 16,
+                                mode: Optional[str] = None,
+                                interpretable: Optional[bool] = None,
+                                infos: Optional[list] = None
+                                ) -> Dict[str, np.ndarray]:
+    """One manipulation PER SCENE of a collated multi-scene graph (reference
+    applies with_changes in __getitem__, i.e. per scene). ``interpretable``
+    defaults to "eval semantics iff mode is forced" — the reference's
+    eval_type path flips predicates to their semantic opposites."""
+    if interpretable is None:
+        interpretable = mode is not None
+    for s in range(n_scenes):
+        info: dict = {}
+        graph = random_manipulation(
+            graph, rng, num_preds=num_preds, max_objs=max_objs, mode=mode,
+            info=info, scene=(s * max_objs, (s + 1) * max_objs),
+            interpretable=interpretable)
+        if infos is not None:
+            infos.append(info)
     return graph

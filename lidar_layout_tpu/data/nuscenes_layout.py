@@ -179,8 +179,11 @@ class NuScenesLayoutDataset:
             "obj_mask": obj_mask, "n_scenes": np.int32(n_sc),
         }
         if self.with_changes or self.eval_type:
-            from .graph_aug import random_manipulation
-            graph = random_manipulation(graph, self._aug_rng,
-                                        max_objs=self.max_objs,
-                                        mode=self.eval_type)
+            # one manipulation PER SCENE (reference applies with_changes in
+            # __getitem__); eval_type forces the mode and switches the
+            # relationship change to the interpretable semantic flip
+            from .graph_aug import random_manipulation_batched
+            graph = random_manipulation_batched(
+                graph, self._aug_rng, max_objs=self.max_objs,
+                n_scenes=n_sc, mode=self.eval_type)
         return graph

@@ -168,10 +168,12 @@ def bert_tokenize(texts: Sequence[str], max_len: int = 77) -> np.ndarray:
                   padding="max_length", return_tensors="np")
         return enc["input_ids"].astype(np.int32)
     except Exception:
+        import zlib  # stable across processes, unlike salted builtin hash()
         out = np.zeros((len(texts), max_len), dtype=np.int32)
         for i, t in enumerate(texts):
             words = t.lower().split()[: max_len - 2]
-            ids = [101] + [1000 + (hash(w) % 29000) for w in words] + [102]
+            ids = [101] + [1000 + (zlib.crc32(w.encode()) % 29000)
+                           for w in words] + [102]
             out[i, : len(ids)] = ids
         return out
 

@@ -297,3 +297,59 @@ class TestTrafficDistribution:
         boxes = denormalize_boxes7(g["dec_boxes"])
         if (g["dec_pred_mask"] & (added[tri[:, 0]] | added[tri[:, 2]])).any():
             assert added_relation_satisfaction(boxes, g) == 1.0
+
+
+class TestBatchedManipulation:
+    """Per-scene manipulation of collated graphs (reference applies
+    with_changes in __getitem__, i.e. once per scene — a single draw per
+    BATCH diluted the supervision by 1/n_scenes)."""
+
+    def _batched_graph(self, n_scenes=4, max_objs=6, rng=None):
+        rng = rng or np.random.default_rng(0)
+        n = n_scenes * max_objs
+        tri = []
+        for s in range(n_scenes):
+            b = s * max_objs
+            tri += [[b, 1, b + 1], [b + 1, 3, b + 2], [b + 2, 2, b + 3]]
+        tri = np.asarray(tri, np.int32)
+        return {
+            "enc_objs": np.ones((n,), np.int32),
+            "enc_triples": tri.copy(), "dec_triples": tri.copy(),
+            "enc_pred_mask": np.ones((len(tri),), bool),
+            "enc_to_dec": np.arange(n, dtype=np.int32),
+            "changed_mask": np.zeros((n,), bool),
+            "obj_mask": np.ones((n,), bool),
+        }
+
+    def test_every_scene_gets_one_manipulation(self):
+        from lidar_layout_tpu.data.graph_aug import random_manipulation_batched
+        n_scenes, max_objs = 4, 6
+        infos = []
+        g = random_manipulation_batched(
+            self._batched_graph(n_scenes, max_objs),
+            np.random.default_rng(1), max_objs=max_objs, n_scenes=n_scenes,
+            mode="addition", infos=infos)
+        assert len(infos) == n_scenes
+        removed = np.flatnonzero(g["enc_to_dec"] == -1)
+        assert len(removed) == n_scenes  # one per scene, not one per batch
+        scenes_hit = sorted(set(int(r) // max_objs for r in removed))
+        assert scenes_hit == list(range(n_scenes))
+        assert all(int(r) % max_objs != 0 for r in removed)  # ego preserved
+
+    def test_forced_relationship_uses_interpretable_flip(self):
+        from lidar_layout_tpu.data.graph_aug import (CHANGED_REL,
+                                                     random_manipulation_batched)
+        n_scenes, max_objs = 3, 6
+        g0 = self._batched_graph(n_scenes, max_objs)
+        g = random_manipulation_batched(
+            g0, np.random.default_rng(2), max_objs=max_objs,
+            n_scenes=n_scenes, mode="relationship")
+        changed = np.flatnonzero(
+            g["enc_triples"][:, 1] != g0["dec_triples"][:, 1])
+        assert len(changed) == n_scenes
+        for t in changed:
+            old = int(g0["dec_triples"][t, 1])
+            assert int(g["enc_triples"][t, 1]) == CHANGED_REL[old]
+            # the changed triple stays inside its own scene's slots
+            s = int(g["enc_triples"][t, 0]) // max_objs
+            assert int(g["enc_triples"][t, 2]) // max_objs == s
