@@ -199,8 +199,13 @@ def main():
             create_train_state, make_optimizer, make_train_step,
             make_val_step)
         tx = make_optimizer(lr, accumulate=accumulate)
+        # conditional configs (layout/sem-map/camera): the cond-stage params
+        # only exist if init sees an example of the conditioning input
+        cond_ex = val_cache[0].get("cond")
         params = model.init(jax.random.key(args.seed),
-                            image_shape=(*geom.size, 1))
+                            image_shape=(*geom.size, 1),
+                            cond_example=None if cond_ex is None
+                            else jnp.asarray(cond_ex[:1]))
         fsc = model_cfg["params"].get("first_stage_config")
         fs_ckpt = (fsc or {}).get("params", {}).get("ckpt_path") \
             if isinstance(fsc, dict) else None
