@@ -27,6 +27,8 @@ NUM_SECTORS = 16
 DATA_CONFIG = {"64": {"x": [-50, 50], "y": [-50, 50], "z": [-3, 1]},
                "32": {"x": [-30, 30], "y": [-30, 30], "z": [-3, 6]}}
 
+BIG_SENTINEL = 1e10  # matches ops.chamfer.BIG (empty-cloud chamfer convention)
+
 
 # ---------------------------------------------------------------------------
 # BEV histograms (metric_utils.py:233-284)
@@ -58,9 +60,10 @@ def bev_count_histogram(pcds: Sequence[np.ndarray], data_type: str = "64",
     return out
 
 
-def bev_bin_clouds(pcds: Sequence[np.ndarray], data_type: str = "64",
-                   voxel_size: float = 0.5) -> List[np.ndarray]:
-    """Per-cloud deduped normalized 2D voxel clouds (pcd2bev_bin)."""
+def _bev_bin_cells(pcds: Sequence[np.ndarray], data_type: str = "64",
+                   voxel_size: float = 0.5
+                   ) -> Tuple[List[np.ndarray], Tuple[int, int]]:
+    """Per-cloud deduped integer BEV cells (pcd2bev_bin's binning) + grid dims."""
     cfg = DATA_CONFIG[data_type]
     x_range, y_range = cfg["x"], cfg["y"]
     nx = math.ceil((x_range[1] - x_range[0]) / voxel_size)
@@ -73,11 +76,16 @@ def bev_bin_clouds(pcds: Sequence[np.ndarray], data_type: str = "64",
         m = ((pcd[:, 0] > x_range[0]) & (pcd[:, 0] < x_range[1])
              & (pcd[:, 1] > y_range[0]) & (pcd[:, 1] < y_range[1]))
         p = pcd[m][:, :2]
-        v = np.floor(p / voxel_size)
-        v = np.unique(v, axis=0)
-        v = ((v - [min_bx, min_by]) / [nx, ny]).astype(np.float32)
-        out.append(v)
-    return out
+        v = np.unique(np.floor(p / voxel_size), axis=0)
+        out.append((v - [min_bx, min_by]).astype(np.int64))
+    return out, (nx, ny)
+
+
+def bev_bin_clouds(pcds: Sequence[np.ndarray], data_type: str = "64",
+                   voxel_size: float = 0.5) -> List[np.ndarray]:
+    """Per-cloud deduped normalized 2D voxel clouds (pcd2bev_bin)."""
+    cells, (nx, ny) = _bev_bin_cells(pcds, data_type, voxel_size)
+    return [(c / [nx, ny]).astype(np.float32) for c in cells]
 
 
 # ---------------------------------------------------------------------------
@@ -103,51 +111,60 @@ def compute_jsd(reference: Sequence[np.ndarray], samples: Sequence[np.ndarray],
     return float(np.sqrt(max(js, 0.0)))
 
 
-def _pad_to(p: np.ndarray, n: int, ndim: int) -> Tuple[np.ndarray, np.ndarray]:
-    """Pad cloud to n rows; mask marks real rows (the reference pads with 1e6
-    sentinels — we carry an explicit mask instead)."""
-    mask = np.zeros((n,), bool)
-    mask[: len(p)] = True
-    out = np.full((n, ndim), 1e6, np.float32)
-    out[: len(p)] = p
-    return out, mask
+def _occupancy_and_sq_edt(cells: Sequence[np.ndarray], nx: int, ny: int
+                          ) -> Tuple[np.ndarray, np.ndarray]:
+    """Flattened occupancy vectors + squared Euclidean distance transforms.
+
+    ``sq_edt[i][cell]`` is the exact squared distance (in the normalized
+    coordinates pcd2bev_bin divides out, i.e. cell/(nx,ny)) from ``cell`` to
+    the nearest occupied cell of cloud i. Empty clouds get BIG everywhere,
+    mirroring the masked-chamfer convention (an all-masked target yields BIG).
+    """
+    from scipy import ndimage
+
+    occ = np.zeros((len(cells), nx * ny), np.float32)
+    sq = np.empty((len(cells), nx * ny), np.float32)
+    for i, c in enumerate(cells):
+        if len(c) == 0:
+            sq[i] = BIG_SENTINEL
+            continue
+        g = np.zeros((nx, ny), bool)
+        g[c[:, 0], c[:, 1]] = True
+        occ[i] = g.ravel()
+        d = ndimage.distance_transform_edt(~g, sampling=(1.0 / nx, 1.0 / ny))
+        sq[i] = (d.astype(np.float32) ** 2).ravel()
+    return occ, sq
 
 
 def compute_mmd(reference: Sequence[np.ndarray], samples: Sequence[np.ndarray],
-                data_type: str = "64", ref_chunk: int = 8) -> float:
+                data_type: str = "64", voxel_size: float = 0.5) -> float:
     """Minimum matching distance over binned BEV 2D clouds (eval_utils.py:70-84):
     for each reference cloud, min chamfer distance over all samples.
 
-    One jitted call per ref_chunk references (vmapped over both axes) — a
-    handful of device round-trips total instead of one per reference."""
-    ref_b = bev_bin_clouds(reference, data_type)
-    smp_b = bev_bin_clouds(samples, data_type)
-    cap = max(max((len(p) for p in ref_b + smp_b), default=1), 1)
-    # bucket the pad size so different sample sets (whose max bin counts
-    # differ by a few points) reuse one compiled program instead of paying
-    # a fresh nested-vmap compile per call — the dominant cost on CPU
-    cap = -(-cap // 512) * 512
+    TPU-era reformulation of the reference's brute-force chamfer2D CUDA sweep:
+    binned clouds live on the regular (nx, ny) BEV grid, so every
+    nearest-neighbor squared distance is a lookup in the target cloud's 2D
+    squared Euclidean distance transform (exact, O(grid) per cloud), and
+    chamfer(r, s) = (<occ_r, sq_edt_s>/|r| + <occ_s, sq_edt_r>/|s|) / 2 —
+    the full R x S chamfer matrix is two (R, nx*ny) @ (nx*ny, S) matmuls.
+    Identical values to the pairwise min over pairwise_cd (the binned points
+    ARE the grid cells), at ~1e4x less arithmetic and O(grid) memory: the
+    previous nested-vmap brute force hit a 1.5 TB XLA allocation on real
+    29k-cell clouds.
+    """
+    ref_c, (nx, ny) = _bev_bin_cells(reference, data_type, voxel_size)
+    smp_c, _ = _bev_bin_cells(samples, data_type, voxel_size)
 
-    smp_arr = jnp.asarray(np.stack([_pad_to(p, cap, 2)[0] for p in smp_b]))
-    smp_mask = jnp.asarray(np.stack([_pad_to(p, cap, 2)[1] for p in smp_b]))
+    occ_r, sq_r = _occupancy_and_sq_edt(ref_c, nx, ny)
+    occ_s, sq_s = _occupancy_and_sq_edt(smp_c, nx, ny)
+    cnt_r = np.maximum(occ_r.sum(-1), 1.0)
+    cnt_s = np.maximum(occ_s.sum(-1), 1.0)
 
-    @jax.jit
-    def min_cd_chunk(rs, rms):
-        def one_ref(r, rm):
-            return jnp.min(jax.vmap(
-                lambda s, sm: pairwise_cd(r, s, rm, sm))(smp_arr, smp_mask))
-        return jax.vmap(one_ref)(rs, rms)
-
-    results = []
-    for i in range(0, len(ref_b), ref_chunk):
-        chunk = ref_b[i: i + ref_chunk]
-        while len(chunk) < ref_chunk:  # pad the last chunk (results sliced)
-            chunk = chunk + [chunk[-1]]
-        rs = jnp.asarray(np.stack([_pad_to(p, cap, 2)[0] for p in chunk]))
-        rms = jnp.asarray(np.stack([_pad_to(p, cap, 2)[1] for p in chunk]))
-        vals = np.asarray(min_cd_chunk(rs, rms))
-        results.extend(vals[: min(ref_chunk, len(ref_b) - i)].tolist())
-    return float(np.mean(results))
+    # d_rs[i, j]: mean over r_i's cells of squared NN distance into s_j
+    d_rs = (occ_r @ sq_s.T) / cnt_r[:, None]
+    d_sr = (occ_s @ sq_r.T) / cnt_s[:, None]
+    cd = 0.5 * (d_rs + d_sr.T)  # (R, S) matrix of pairwise_cd values
+    return float(np.mean(cd.min(axis=1)))
 
 
 def compute_cd(reference: Sequence[np.ndarray], samples: Sequence[np.ndarray]

@@ -172,7 +172,7 @@ def main():
     if saved_a is not None and saved_a >= n_chunks * chunk:
         ae_state = restore_checkpoint(ae_ckpt_dir, ae_state)
         print(f"[northstar] stage A restored from {ae_ckpt_dir}", flush=True)
-        first_rec = last_rec = float("nan")
+        first_rec = last_rec = None  # training stats live in the run's log
     else:
         start_c = 0
         if saved_a is not None:
@@ -204,7 +204,8 @@ def main():
         print(f"[northstar] stage A checkpoint -> {ae_ckpt_dir}", flush=True)
     report["stages"]["ae"] = {
         "steps": args.ae_steps, "seconds": round(time.perf_counter() - t0, 1),
-        "nll_first": round(first_rec, 4), "nll_last": round(last_rec, 4)}
+        "nll_first": None if first_rec is None else round(first_rec, 4),
+        "nll_last": None if last_rec is None else round(last_rec, 4)}
 
     # ------------------------------- stage B: latent DDPM -----------------
     print("[northstar] stage B: training latent diffusion...", flush=True)
@@ -247,8 +248,8 @@ def main():
         dstate = restore_checkpoint(lidm_ckpt_dir, dstate)
         print(f"[northstar] stage B restored from {lidm_ckpt_dir}",
               flush=True)
-        first_loss = last_loss = float("nan")
-        n_chunks, chunk = 0, 1
+        first_loss = last_loss = None  # training stats live in the run's log
+        n_chunks, chunk = saved_b, 1
     else:
         start_c = 0
         if saved_b is not None:
@@ -280,7 +281,8 @@ def main():
     report["stages"]["lidm"] = {
         "steps": n_chunks * chunk,
         "seconds": round(time.perf_counter() - t0, 1),
-        "loss_first": round(first_loss, 4), "loss_last": round(last_loss, 4)}
+        "loss_first": None if first_loss is None else round(first_loss, 4),
+        "loss_last": None if last_loss is None else round(last_loss, 4)}
 
     # ------------------------------- stage C: sample + eval ---------------
     print("[northstar] stage C: sampling + eval...", flush=True)

@@ -93,6 +93,28 @@ class TestStatisticalMetrics:
         v = M.compute_mmd(c, c)
         assert v == pytest.approx(0.0, abs=1e-6)
 
+    def test_mmd_matches_bruteforce(self, rng):
+        """The EDT/matmul formulation equals the explicit min over pairwise
+        chamfer on the binned clouds (what the reference brute-forces on GPU,
+        eval_utils.py:70-84)."""
+        ref = self._clouds(rng, n=3)
+        smp = self._clouds(rng, n=4, shift=2.0)
+        v = M.compute_mmd(ref, smp)
+        rb, sb = M.bev_bin_clouds(ref), M.bev_bin_clouds(smp)
+        expect = np.mean([min(float(pairwise_cd(jnp.asarray(r),
+                                                jnp.asarray(s)))
+                              for s in sb) for r in rb])
+        assert v == pytest.approx(expect, rel=1e-4, abs=1e-7)
+
+    def test_mmd_empty_cloud_is_finite(self, rng):
+        """Clouds that bin to zero cells follow the masked-chamfer convention
+        (BIG sentinel) instead of dividing by zero."""
+        ref = self._clouds(rng, n=2)
+        empty = [np.full((10, 3), 1e4, np.float32)]  # outside BEV range
+        assert np.isfinite(M.compute_mmd(ref, empty))
+        assert M.compute_mmd(ref, empty) > 1.0
+        assert np.isfinite(M.compute_mmd(empty, ref))
+
     def test_frechet_distance(self, rng):
         f1 = rng.standard_normal((500, 16))
         f2 = rng.standard_normal((500, 16)) + 2.0
