@@ -151,6 +151,75 @@ def plms_sample(model: LatentDiffusion, params, rng: Array,
     return img
 
 
+def dpm_solver_sample(model: LatentDiffusion, params, rng: Array,
+                      shape: Tuple[int, ...], steps: int = 20,
+                      cond: Any = None, uncond: Any = None,
+                      cfg_scale: float = 1.0, method: str = "uniform"):
+    """DPM-Solver++(2M): second-order multistep ODE solver in data-prediction
+    form (Lu et al. 2022, arXiv:2211.01095) — BEYOND the reference's sampler
+    set (it ships only DDIM/PLMS, ``lidm/models/diffusion/{ddim,plms}.py``):
+    one model eval per step, deterministic, and typically matches 50-step
+    DDIM sample quality at ~20 steps, i.e. ~2.5x sampling throughput.
+
+    Same one-``lax.scan`` structure as ``ddim_sample``: per-step scalars are
+    precomputed numpy tables fed as scan inputs; the multistep history
+    (previous x0 prediction) rides the carry; the first step falls back to
+    first-order (DPM-Solver++(1) == DDIM eta=0 in lambda-space) gated by the
+    step counter, mirroring how ``plms_sample`` warms up its history.
+    """
+    dsched = DDIMSchedule.create(model.schedule, steps, 0.0, method)
+    n = len(dsched.timesteps)
+    b = shape[0]
+
+    acp_cur = dsched.alphas[::-1].copy()
+    acp_next = dsched.alphas_prev[::-1].copy()
+    alpha_c, sigma_c = np.sqrt(acp_cur), np.sqrt(1.0 - acp_cur)
+    alpha_n, sigma_n = np.sqrt(acp_next), np.sqrt(1.0 - acp_next)
+    lam_c = np.log(alpha_c / sigma_c)
+    lam_n = np.log(alpha_n / sigma_n)
+    h = lam_n - lam_c
+    h_prev = np.concatenate([h[:1], h[:-1]])  # unused at step 0
+    # degenerate grid entries (duplicate timesteps after clipping, e.g.
+    # steps == num_timesteps) give h == 0: that transition is an identity
+    # (sigma_n == sigma_c, expm1(0) == 0), so any finite r works; and a
+    # zero h_prev would blow up the 1/(2r) correction, so fall back to
+    # first-order there
+    r = np.where(h != 0.0, h_prev / np.where(h == 0.0, 1.0, h), 1.0)
+    ms_ok = (h_prev > 0.0).astype(np.float32)
+    r = np.maximum(r, 1e-4)
+
+    ts = jnp.asarray(dsched.timesteps[::-1].copy(), jnp.int32)
+    tables = jax.tree.map(
+        lambda a: jnp.asarray(a, jnp.float32),
+        (alpha_c, sigma_c, alpha_n, sigma_n, h, r, ms_ok))
+
+    # deterministic solver, but derive the initial latent exactly like
+    # ddim/plms (split -> r_init) so one key gives all samplers the same
+    # starting noise — cross-sampler trajectory comparisons depend on it
+    _, r_init = jax.random.split(rng)
+    img = jax.random.normal(r_init, shape, dtype=jnp.float32)
+
+    def body(carry, inputs):
+        img, x0_prev, count = carry
+        t_scalar, (ac, sc, an, sn, h_i, r_i, ms_i) = inputs
+        t = jnp.full((b,), t_scalar, jnp.int32)
+
+        out = _cfg_apply(model, params, img, t, cond, uncond, cfg_scale)
+        e_t = model.eps_from_model_out(img, t, out)
+        x0 = (img - sc * e_t) / ac
+
+        c2 = 1.0 / (2.0 * r_i)
+        d = jnp.where((count > 0) & (ms_i > 0),
+                      (1.0 + c2) * x0 - c2 * x0_prev, x0)
+        img = (sn / sc) * img - an * jnp.expm1(-h_i) * d
+        return (img, x0, count + 1), 0.0
+
+    (img, _, _), _ = jax.lax.scan(
+        body, (img, jnp.zeros(shape, jnp.float32), jnp.asarray(0, jnp.int32)),
+        (ts, tables))
+    return img
+
+
 def ddpm_sample(model: LatentDiffusion, params, rng: Array,
                 shape: Tuple[int, ...], cond: Any = None,
                 clip_denoised: bool = True):

@@ -25,7 +25,8 @@ def parse_args():
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--eta", type=float, default=0.0)
-    p.add_argument("--sampler", default="ddim", choices=["ddim", "plms", "ddpm"])
+    p.add_argument("--sampler", default="ddim",
+                   choices=["ddim", "plms", "ddpm", "dpm"])
     p.add_argument("--eval", action="store_true")
     p.add_argument("-f", "--file", default=None,
                    help="pre-generated samples (.npz of pcd_* clouds or "
@@ -50,6 +51,7 @@ def main():
 
     from lidar_layout_tpu.config import instantiate_from_config, load_yaml
     from lidar_layout_tpu.models.samplers import (ddim_sample, ddpm_sample,
+                                                  dpm_solver_sample,
                                                   plms_sample)
     from lidar_layout_tpu.ops.lidar import (KITTI_GEOMETRY, NUSCENES_GEOMETRY,
                                             range2pcd)
@@ -108,6 +110,9 @@ def main():
                "plms": lambda p, r: plms_sample(model, p, r,
                                                 (args.batch, h, w, c),
                                                 steps=args.steps),
+               "dpm": lambda p, r: dpm_solver_sample(model, p, r,
+                                                     (args.batch, h, w, c),
+                                                     steps=args.steps),
                "ddpm": lambda p, r: ddpm_sample(model, p, r,
                                                 (args.batch, h, w, c))}[args.sampler]
 

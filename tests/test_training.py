@@ -10,7 +10,8 @@ from lidar_layout_tpu.losses.vq_loss import VQLossConfig
 from lidar_layout_tpu.losses.discriminator import LiDARNLayerDiscriminator
 from lidar_layout_tpu.models.autoencoder import AEConfig, VQModel
 from lidar_layout_tpu.models.diffusion import DiffusionConfig, LatentDiffusion
-from lidar_layout_tpu.models.samplers import ddim_sample, ddpm_sample, plms_sample
+from lidar_layout_tpu.models.samplers import (ddim_sample, ddpm_sample,
+                                              dpm_solver_sample, plms_sample)
 from lidar_layout_tpu.models.unet import UNetConfig
 from lidar_layout_tpu.ops.lidar import LidarGeometry
 from lidar_layout_tpu.parallel.mesh import make_mesh, shard_batch, replicate
@@ -117,6 +118,90 @@ class TestSamplers:
         out = plms_sample(model, params, jax.random.key(3), (1, 8, 16, 2), steps=8)
         assert out.shape == (1, 8, 16, 2)
         assert np.isfinite(np.asarray(out)).all()
+
+    def test_dpm_solver_shapes_finite_deterministic(self, model_and_params):
+        model, params = model_and_params
+        a = dpm_solver_sample(model, params, jax.random.key(7), (2, 8, 16, 2),
+                              steps=8)
+        b = dpm_solver_sample(model, params, jax.random.key(7), (2, 8, 16, 2),
+                              steps=8)
+        assert a.shape == (2, 8, 16, 2)
+        assert np.isfinite(np.asarray(a)).all()
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    @staticmethod
+    def _lambda_linear_mock(model, c0, c1):
+        """Mock whose x0-prediction is c0 + c1*lambda(t): the probability-flow
+        ODE then has the closed form (variation of constants)
+          z(lam1) = sigma1 * (z0/sigma0 + F(lam1) - F(lam0)),
+          F(lam)  = e^lam * (c0 + c1*(lam - 1)),
+        so solver error can be measured against the exact solution on the
+        solver's OWN timestep grid (no t_max-reinterpretation confound)."""
+        sched = model.schedule
+        acp = np.asarray(sched.alphas_cumprod, np.float64)
+        alpha_np, sigma_np = np.sqrt(acp), np.sqrt(1.0 - acp)
+        lam_np = 0.5 * np.log(acp / (1.0 - acp))
+        alpha = jnp.asarray(alpha_np, jnp.float32)
+        sigma = jnp.asarray(sigma_np, jnp.float32)
+        lam = jnp.asarray(lam_np, jnp.float32)
+
+        class _Mock:
+            schedule = sched
+            cfg = model.cfg
+
+            def apply_model(self, params, x, t, cond):
+                a = alpha[t][:, None, None, None]
+                s = sigma[t][:, None, None, None]
+                x0p = c0 + c1 * lam[t][:, None, None, None]
+                return (x - a * x0p) / s
+
+            def eps_from_model_out(self, img, t, out):
+                return out
+
+        def analytic_final(z_init, t_start):
+            def big_f(l):
+                return np.exp(l) * (c0 + c1 * (l - 1.0))
+            l0, l1 = lam_np[t_start], lam_np[0]
+            return sigma_np[0] * (np.asarray(z_init, np.float64)
+                                  / sigma_np[t_start]
+                                  + big_f(l1) - big_f(l0))
+
+        return _Mock(), analytic_final
+
+    def _solver_errors(self, model, c0, c1, steps, key=11):
+        from lidar_layout_tpu.models.schedules import DDIMSchedule
+        mock, analytic_final = self._lambda_linear_mock(model, c0, c1)
+        t_start = int(DDIMSchedule.create(model.schedule, steps)
+                      .timesteps[-1])
+        _, r_init = jax.random.split(jax.random.key(key))
+        z_init = jax.random.normal(r_init, (1, 8, 16, 2), jnp.float32)
+        exact = analytic_final(z_init, t_start)
+        fast = dpm_solver_sample(mock, None, jax.random.key(key),
+                                 (1, 8, 16, 2), steps=steps)
+        base = ddim_sample(mock, None, jax.random.key(key), (1, 8, 16, 2),
+                           steps=steps)
+        err = lambda x: float(np.abs(np.asarray(x, np.float64) - exact).mean())
+        return err(fast), err(base)
+
+    def test_dpm_solver_exact_for_constant_x0(self, model_and_params):
+        """Constant x0-prediction makes the ODE linear with constant drive;
+        both DDIM(eta=0) and DPM-Solver++ integrate it exactly — so a 10-step
+        run must hit the analytic solution to float32 accuracy."""
+        model, _ = model_and_params
+        err_dpm, err_ddim = self._solver_errors(model, c0=0.37, c1=0.0,
+                                                steps=10)
+        assert err_dpm < 1e-4
+        assert err_ddim < 1e-4
+
+    def test_dpm_solver_beats_ddim_at_equal_steps(self, model_and_params):
+        """With an x0-prediction that varies along the trajectory (linear in
+        lambda), first-order DDIM has O(h^2) local error while the 2M
+        multistep is exact for linear-in-lambda — 8-step DPM must land much
+        closer to the analytic solution."""
+        model, _ = model_and_params
+        err_dpm, err_ddim = self._solver_errors(model, c0=0.3, c1=0.2,
+                                                steps=8)
+        assert err_dpm < 0.3 * err_ddim, (err_dpm, err_ddim)
 
     def test_ddim_inpainting_keeps_masked_region(self, model_and_params):
         model, params = model_and_params
