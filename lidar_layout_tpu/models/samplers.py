@@ -1,8 +1,10 @@
-"""Samplers: DDPM ancestral, DDIM, PLMS — each one compiled ``lax.scan`` loop.
+"""Samplers: DDPM ancestral, DDIM, PLMS, DPM-Solver++(2M) — each one compiled
+``lax.scan`` loop.
 
 Parity: ``lidm/models/diffusion/ddim.py:13-206`` (DDIM with eta/CFG/mask
 inpainting), ``plms.py:11-236`` (PLMS multistep), ``ddpm.py:255-269``
-(ancestral p_sample_loop).
+(ancestral p_sample_loop). DPM-Solver++ is beyond the reference's sampler set
+(see ``dpm_solver_sample``).
 
 TPU-first (BASELINE.json north-star): the entire 50-step denoising loop lives in
 one XLA program — the batch never leaves HBM, per-step coefficients are scanned

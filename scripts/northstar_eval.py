@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Finish northstar_train.py's stage C from its persisted eval clouds.
+
+northstar_train.py saves every evaluation cloud set to
+``<workdir>/eval_clouds.npz`` *before* computing metrics precisely so the
+(cheap) metric stage can be redone without repeating the (expensive) training
+and sampling stages. This script loads that file, rebuilds the deterministic
+noise baseline, runs the same jsd/mmd/frid evaluation matrix, and writes the
+north-star JSON. Stage A/B training stats are passed explicitly (they live in
+the training run's log, not the npz).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--workdir", default="./runs/northstar_r02b")
+    p.add_argument("--out", default="NORTHSTAR_r02.json")
+    p.add_argument("--stages-json", default=None,
+                   help="JSON string or file with the 'stages' dict "
+                        "(training stats from the run's log)")
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from lidar_layout_tpu.eval.metrics import evaluate
+    from lidar_layout_tpu.eval.registry import build_feature_fn
+
+    t0 = time.perf_counter()
+    data = np.load(os.path.join(args.workdir, "eval_clouds.npz"),
+                   allow_pickle=True)
+    clouds = {k: [c.astype(np.float32) for c in data[k]] for k in data.keys()}
+    n_eval = len(clouds["reference"])
+    # deterministic noise baseline (same formula as northstar_train.py)
+    clouds["noise"] = [np.random.default_rng(i).uniform(
+        (-50, -50, -3), (50, 50, 2), (4096, 3)).astype(np.float32)
+        for i in range(n_eval)]
+
+    ffn = {"frid": build_feature_fn("64", "range")}
+    mset = ["jsd", "mmd", "frid"]
+    ref = clouds["reference"]
+
+    def ev(samples):
+        m = evaluate(ref, samples, mset, "64", feature_fn=ffn)
+        return {k: round(float(v), 6) for k, v in m.items()}
+
+    report = {"stages": {}}
+    if args.stages_json:
+        src = args.stages_json
+        if os.path.exists(src):
+            with open(src) as f:
+                src = f.read()
+        report["stages"] = json.loads(src)
+
+    half = n_eval // 2
+    report["eval"] = {
+        "n_samples": n_eval,
+        "trained": ev(clouds["trained"]),
+        "random_weights": ev(clouds["random_weights"]),
+        "noise": ev(clouds["noise"]),
+        "ae_recon_ceiling": ev(clouds["ae_recon"]),
+        "heldout_self": {k: round(float(v), 6) for k, v in evaluate(
+            ref[:half], ref[half:], mset, "64", feature_fn=ffn).items()},
+    }
+    report["trained_beats_random"] = bool(
+        report["eval"]["trained"]["jsd"]
+        < report["eval"]["random_weights"]["jsd"])
+    report["trained_beats_noise"] = bool(
+        report["eval"]["trained"]["jsd"] < report["eval"]["noise"]["jsd"])
+    report["eval_seconds"] = round(time.perf_counter() - t0, 1)
+    report["hardware"] = str(jax.devices()[0].platform)
+    report["description"] = (
+        "Two-stage LiDM trained from scratch on a fixed synthetic "
+        "distribution; JSD/MMD (+ fixed-random-feature FRID, relative only) "
+        "of trained EMA samples vs held-out scenes, compared against "
+        "random-weights / noise baselines and the AE-reconstruction ceiling. "
+        "Metrics computed from the training run's persisted eval clouds.")
+
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -130,6 +130,22 @@ class TestStatisticalMetrics:
         assert all(np.isfinite(v) for v in out.values())
 
 
+class TestFeatureFn:
+    def test_chunked_extraction_matches_padless(self, rng):
+        """build_feature_fn chunks into fixed feat_batch programs (a full-set
+        batch OOMs on chip); a set that needs a padded final chunk must give
+        the same per-cloud features as batch-aligned extraction."""
+        from lidar_layout_tpu.eval.registry import build_feature_fn
+
+        clouds = [rng.standard_normal((800, 3)).astype(np.float32) * 8
+                  for _ in range(3)]
+        fn2 = build_feature_fn("64", "range", feat_batch=2)  # 3 -> pad chunk
+        fn4 = build_feature_fn("64", "range", feat_batch=4)  # single pad chunk
+        f2, f4 = fn2(clouds), fn4(clouds)
+        assert f2.shape[0] == 3 and f2.shape == f4.shape
+        np.testing.assert_allclose(f2, f4, rtol=1e-4, atol=1e-5)
+
+
 class TestRangeNet:
     def test_descriptor_shape(self, rng):
         net = RangeNet(layers=21)
