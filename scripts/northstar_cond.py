@@ -166,16 +166,25 @@ def main():
         ae_state = restore_checkpoint(ae_ckpt, ae_state)
         print("[cond] stage A restored", flush=True)
     else:
+        start_c = 0
+        if saved is not None:
+            ae_state = restore_checkpoint(ae_ckpt, ae_state)
+            start_c = saved // chunk
+            print(f"[cond] stage A resuming at step {saved}", flush=True)
         step_fn = make_chunked_ae_train_step(
             ae, disc, loss_cfg, geo, tx_g, tx_d,
             make_batch_fn(args.ae_batch, False), chunk)
-        for c in range(n_chunks):
+        save_every = max(n_chunks // 5, 1)
+        for c in range(start_c, n_chunks):
             ae_state, logs = step_fn(ae_state, jax.random.key(c), pool_data)
             if c % max(n_chunks // 10, 1) == 0 or c == n_chunks - 1:
                 cur = float(logs["nll_loss"])
                 nll_first = cur if np.isnan(nll_first) else nll_first
                 nll_last = cur
                 print(f"  ae {(c + 1) * chunk}: nll={cur:.4f}", flush=True)
+            if (c + 1) % save_every == 0 and not args.tiny \
+                    and c != n_chunks - 1:
+                save_checkpoint(ae_ckpt, (c + 1) * chunk, ae_state)
         if not args.tiny:
             save_checkpoint(ae_ckpt, n_chunks * chunk, ae_state)
     report["stages"]["ae"] = {"steps": n_chunks * chunk,
@@ -207,9 +216,15 @@ def main():
         dstate = restore_checkpoint(lidm_ckpt, dstate)
         print("[cond] stage B restored", flush=True)
     else:
+        start_c = 0
+        if saved is not None:
+            dstate = restore_checkpoint(lidm_ckpt, dstate)
+            start_c = saved // chunk
+            print(f"[cond] stage B resuming at step {saved}", flush=True)
         step_fn = make_chunked_train_step(
             model, tx, make_batch_fn(args.lidm_batch, True), chunk)
-        for c in range(n_chunks):
+        save_every = max(n_chunks // 10, 1)
+        for c in range(start_c, n_chunks):
             dstate, logs = step_fn(dstate, jax.random.key(7_000 + c),
                                    pool_data)
             if c % max(n_chunks // 10, 1) == 0 or c == n_chunks - 1:
@@ -217,6 +232,9 @@ def main():
                 loss_first = cur if np.isnan(loss_first) else loss_first
                 loss_last = cur
                 print(f"  lidm {(c + 1) * chunk}: loss={cur:.4f}", flush=True)
+            if (c + 1) % save_every == 0 and not args.tiny \
+                    and c != n_chunks - 1:
+                save_checkpoint(lidm_ckpt, (c + 1) * chunk, dstate)
         if not args.tiny:
             save_checkpoint(lidm_ckpt, n_chunks * chunk, dstate)
     report["stages"]["lidm"] = {"steps": n_chunks * chunk,
