@@ -39,13 +39,14 @@ def main():
         np.random.default_rng(args.seed), n_scenes=args.n_scenes).items()}
     params = model.init(jax.random.key(0), g)
     if args.resume:
+        from lidar_layout_tpu.train.build import _simple_state
         from lidar_layout_tpu.train.checkpoint import restore_checkpoint
         import optax
         tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-4))
         state = restore_checkpoint(os.path.join(args.resume, "ckpt"),
-                                   (params, tx.init(params)))
-        params = state[0]
-        print(f"loaded weights from {args.resume}")
+                                   _simple_state(params, tx))
+        params = state.ema  # sample with EMA weights (reference ema_scope)
+        print(f"loaded EMA weights from {args.resume}")
     else:
         print("WARNING: sampling from randomly initialized weights")
 

@@ -49,6 +49,7 @@ def main():
 
     from lidar_layout_tpu.config import instantiate_from_config, load_yaml
     from lidar_layout_tpu.data.factory import build_batches
+    from lidar_layout_tpu.train.build import _simple_state, _simple_update
     from lidar_layout_tpu.train.lr_schedule import scale_lr
     from lidar_layout_tpu.train.trainer import (CheckpointSaver,
                                                 InformationWriter,
@@ -93,22 +94,22 @@ def main():
     base_lr = model_cfg.get("base_learning_rate", 1e-6)
     lr = scale_lr(base_lr, batch_scenes, 1)
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(lr))
-    opt = tx.init(params)
+    # EMA tracked like every other family (reference LayoutDiffusion is a
+    # DDPM subclass with use_ema; LitEma warmup semantics in _simple_update)
+    state0 = _simple_state(params, tx)
 
     @jax.jit
     def step_fn(state, batch, key):
-        params, opt = state
         graph = {**batch, "n_scenes": n_scenes_static}
         (l, logs), grads = jax.value_and_grad(model.p_losses, has_aux=True)(
-            params, key, graph)
-        upd, opt = tx.update(grads, opt, params)
-        return (optax.apply_updates(params, upd), opt), logs
+            state.params, key, graph)
+        return _simple_update(state, grads, tx), logs
 
     def jbatches():
         for b in batches:
             yield to_device(b)
 
-    trainer = Trainer(step_fn, (params, opt), jbatches(), workdir=workdir,
+    trainer = Trainer(step_fn, state0, jbatches(), workdir=workdir,
                       max_steps=args.steps,
                       hooks=[IterationTimer(), InformationWriter(),
                              CheckpointSaver(max(args.steps // 5, 1))],
