@@ -35,12 +35,19 @@ import jax.numpy as jnp
 
 Array = jax.Array
 
-# Input-block budget. The kernel's f32 intermediates (xf, y) can be
-# materialized by Mosaic at 2x a bf16 block each, plus the output block —
-# budget the INPUT at ~3 MB so worst-case VMEM stays well under 16 MB.
-# (All U-Net norm blocks are <=1 MB; only the AE decoder's largest
-# spatial layers fall back to XLA, and decode is ~2% of sampling time.)
-_VMEM_BLOCK_LIMIT = 3 * 1024 * 1024
+# Scoped-VMEM budget for one grid step. Measured footprint (v5e, Mosaic):
+# double-buffered input (2 * n*c*itemsize) + double-buffered output (same)
+# + two materialized f32 intermediates xf and y (2 * n*c*4) — an f32
+# (1, 2048, 384) block allocates 18.8 MB on the 16 MB stack (observed
+# kernel-vmem-stack OOM at batch 125 full-res norms), while the same bf16
+# block needs 12.6 MB and fits. Budget at 14 MB (~2 MB headroom for
+# gamma/beta/one-hot and semaphores): full-res bf16 norms (the bench
+# sampling path) keep the kernel; oversized f32 blocks fall back to XLA.
+_VMEM_BUDGET = 14 * 1024 * 1024
+
+
+def _vmem_estimate(n: int, c: int, itemsize: int) -> int:
+    return n * c * (4 * itemsize + 8)
 
 
 def _ref(x: Array, gamma: Array, beta: Array, num_groups: int, eps: float,
@@ -110,7 +117,7 @@ def _supports_fused(x: Array) -> bool:
         n *= d
     if c % 128 or n < 8:
         return False
-    return n * c * x.dtype.itemsize <= _VMEM_BLOCK_LIMIT
+    return _vmem_estimate(n, c, x.dtype.itemsize) <= _VMEM_BUDGET
 
 
 def _fused_fwd(x: Array, gamma: Array, beta: Array, num_groups: int,

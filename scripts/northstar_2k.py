@@ -68,7 +68,14 @@ def main():
     model = LatentDiffusion(diff_cfg, unet_cfg, first_stage_cfg=ae_cfg,
                             n_embed=2048, embed_dim=8, use_mask=True)
     params = model.init(jax.random.key(1), image_shape=(h, w, 1))
-    tx = make_optimizer(2e-4)
+    # the optimizer must match the training run's TREE STRUCTURE for orbax to
+    # restore: northstar_train --cosine wraps lr in a schedule, whose
+    # scale_by_learning_rate state is ScaleByScheduleState, not EmptyState
+    from lidar_layout_tpu.train.lr_schedule import lambda_warmup_cosine_optax
+    lr = lambda_warmup_cosine_optax(base_lr=2e-4, warm_up_steps=1000,
+                                    lr_min=0.1, lr_max=1.0, lr_start=0.01,
+                                    max_decay_steps=36000)
+    tx = make_optimizer(lr)
     dstate = create_train_state(model, params, tx)
     dstate = restore_checkpoint(os.path.join(args.workdir, "ckpt_lidm"),
                                 dstate)

@@ -161,10 +161,18 @@ def main():
     n_chunks = max(args.ae_steps // chunk, 1)
     t0 = time.perf_counter()
     nll_first = nll_last = float("nan")
+    ae_stats_path = os.path.join(args.workdir, "stats_ae.json")
     saved = None if args.tiny else latest_step(ae_ckpt)
     if saved is not None and saved >= n_chunks * chunk:
         ae_state = restore_checkpoint(ae_ckpt, ae_state)
         print("[cond] stage A restored", flush=True)
+        # a fully-restored stage ran zero chunks here: recover its loss
+        # trajectory from the sidecar the original run persisted
+        if os.path.exists(ae_stats_path):
+            with open(ae_stats_path) as f:
+                prev = json.load(f)
+            nll_first = prev.get("nll_first", nll_first)
+            nll_last = prev.get("nll_last", nll_last)
     else:
         start_c = 0
         if saved is not None:
@@ -187,6 +195,8 @@ def main():
                 save_checkpoint(ae_ckpt, (c + 1) * chunk, ae_state)
         if not args.tiny:
             save_checkpoint(ae_ckpt, n_chunks * chunk, ae_state)
+            with open(ae_stats_path, "w") as f:
+                json.dump({"nll_first": nll_first, "nll_last": nll_last}, f)
     report["stages"]["ae"] = {"steps": n_chunks * chunk,
                               "seconds": round(time.perf_counter() - t0, 1),
                               "nll_first": round(nll_first, 4),
@@ -211,10 +221,16 @@ def main():
     n_chunks = max(args.lidm_steps // chunk, 1)
     t0 = time.perf_counter()
     loss_first = loss_last = float("nan")
+    lidm_stats_path = os.path.join(args.workdir, "stats_lidm.json")
     saved = None if args.tiny else latest_step(lidm_ckpt)
     if saved is not None and saved >= n_chunks * chunk:
         dstate = restore_checkpoint(lidm_ckpt, dstate)
         print("[cond] stage B restored", flush=True)
+        if os.path.exists(lidm_stats_path):
+            with open(lidm_stats_path) as f:
+                prev = json.load(f)
+            loss_first = prev.get("loss_first", loss_first)
+            loss_last = prev.get("loss_last", loss_last)
     else:
         start_c = 0
         if saved is not None:
@@ -237,6 +253,9 @@ def main():
                 save_checkpoint(lidm_ckpt, (c + 1) * chunk, dstate)
         if not args.tiny:
             save_checkpoint(lidm_ckpt, n_chunks * chunk, dstate)
+            with open(lidm_stats_path, "w") as f:
+                json.dump({"loss_first": loss_first,
+                           "loss_last": loss_last}, f)
     report["stages"]["lidm"] = {"steps": n_chunks * chunk,
                                 "seconds": round(time.perf_counter() - t0, 1),
                                 "loss_first": round(loss_first, 4),

@@ -73,6 +73,11 @@ def test_supports_fused_gate():
     assert not _supports_fused(jnp.zeros((2, 16, 128, 64), jnp.bfloat16))
     # block too large for VMEM -> fallback
     assert not _supports_fused(jnp.zeros((1, 64, 1024, 256), jnp.float32))
+    # dtype-aware boundary: the full-res U-Net out-block norm (N=16*128,
+    # C=384) fits in f32? No — 2*in + 2*out + two f32 intermediates is
+    # 18.8 MB on the 16 MB VMEM stack (observed OOM); bf16 is 12.6 MB.
+    assert not _supports_fused(jnp.zeros((125, 16, 128, 384), jnp.float32))
+    assert _supports_fused(jnp.zeros((125, 16, 128, 384), jnp.bfloat16))
 
 
 def test_group_norm_fallback_matches_old_normalize():
