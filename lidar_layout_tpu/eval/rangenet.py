@@ -141,18 +141,40 @@ class RangeNet(nn.Module):
 
 def preprocess_range_batch(pcds, geom) -> np.ndarray:
     """Clouds -> (B, H, W, 4) [depth, x, y, z] images (metric_utils.py:316-321;
-    note the eval path uses metric depth, not log scale)."""
-    import jax.numpy as jnp
+    note the eval path uses metric depth, not log scale).
 
-    from ..ops import lidar as L
+    Host-side numpy on purpose: eval clouds are ragged (one shape per cloud),
+    so routing this through jax would either recompile per cloud or dispatch
+    every op eagerly — through the axon relay that is ~35 ms per op, hours for
+    a 2k-sample eval. Same scatter-min semantics as ops.lidar.pcd2range.
+    """
+    h, w = geom.size
+    lo, hi = geom.depth_range
+    dirs = geom.ray_dirs().astype(np.float32)  # (H, W, 3)
+    big = np.float32(np.finfo(np.float32).max)
 
-    out = []
-    for pcd in pcds:
-        img, _ = L.pcd2range(jnp.asarray(pcd), geom)
-        xyz, _ = L.range2xyz(img, geom, from_model_space=False)
-        out.append(np.concatenate([np.asarray(img)[..., None], np.asarray(xyz)],
-                                  axis=-1))
-    return np.stack(out)
+    out = np.empty((len(pcds), h, w, 4), np.float32)
+    for i, pcd in enumerate(pcds):
+        p = np.asarray(pcd, np.float32)[:, :3]
+        depth = np.linalg.norm(p, axis=-1)
+        yaw = -np.arctan2(p[:, 1], p[:, 0])
+        pitch = np.arcsin(
+            np.where(depth > 0, p[:, 2] / np.maximum(depth, 1e-8), 0.0))
+        px = 0.5 * (yaw / np.pi + 1.0)
+        py = 1.0 - (pitch + abs(geom.fov_down)) / geom.fov_range
+        valid = (depth > lo) & (depth < hi)
+        xi = np.clip(np.floor(px * w), 0, w - 1).astype(np.int64)
+        yi = np.clip(np.floor(py * h), 0, h - 1).astype(np.int64)
+        pix = np.where(valid, yi * w + xi, h * w)
+
+        img = np.full(h * w + 1, big, np.float32)
+        np.minimum.at(img, pix, np.where(valid, depth, big).astype(np.float32))
+        img = np.where(img[: h * w] < big, img[: h * w], -1.0).reshape(h, w)
+
+        v = (img > lo) & (img < hi)
+        out[i, ..., 0] = img
+        out[i, ..., 1:] = np.where(v[..., None], dirs * img[..., None], -1.0)
+    return out
 
 
 def load_torch_weights(params: Dict, backbone_path: str, decoder_path: str

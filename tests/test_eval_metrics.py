@@ -147,6 +147,24 @@ class TestFeatureFn:
 
 
 class TestRangeNet:
+    def test_preprocess_matches_jax_projection(self, rng):
+        """Host-numpy eval preprocessing == ops.lidar pcd2range/range2xyz."""
+        from lidar_layout_tpu.eval.rangenet import preprocess_range_batch
+        from lidar_layout_tpu.ops import lidar as L
+        from lidar_layout_tpu.ops.lidar import KITTI_GEOMETRY as geom
+
+        clouds = [(rng.standard_normal((n, 3)) * 12).astype(np.float32)
+                  for n in (700, 1300)]
+        got = preprocess_range_batch(clouds, geom)
+        assert got.shape == (2, *geom.size, 4)
+        for i, pcd in enumerate(clouds):
+            img, _ = L.pcd2range(jnp.asarray(pcd), geom)
+            xyz, _ = L.range2xyz(img, geom, from_model_space=False)
+            np.testing.assert_allclose(got[i, ..., 0], np.asarray(img),
+                                       rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(got[i, ..., 1:], np.asarray(xyz),
+                                       rtol=1e-4, atol=1e-4)
+
     def test_descriptor_shape(self, rng):
         net = RangeNet(layers=21)
         x = jnp.asarray(rng.standard_normal((2, 32, 64, 4)), jnp.float32)
