@@ -204,25 +204,43 @@ def frechet_distance(feat1: np.ndarray, feat2: np.ndarray, eps: float = 1e-6
 
 def evaluate(reference: Sequence[np.ndarray], samples: Sequence[np.ndarray],
              metrics: Sequence[str], data_type: str = "64",
-             feature_fn=None) -> Dict[str, float]:
+             feature_fn=None, verbose: bool = False) -> Dict[str, float]:
     """Dispatch mirroring eval_utils.evaluate. ``feature_fn(pcds) -> (N, D)``
     supplies perceptual features for frid/fsvd/fpvd when a feature net +
-    weights are available (see eval/rangenet.py)."""
+    weights are available (see eval/rangenet.py). ``verbose`` prints per-metric
+    wall time (large eval sets run for minutes; silence reads as a hang)."""
+    import time
+
+    def _log(name, t0):
+        if verbose:
+            print(f"  [eval] {name}: {time.perf_counter() - t0:.1f}s",
+                  flush=True)
+
     out: Dict[str, float] = {}
     if "cd" in metrics:
+        t0 = time.perf_counter()
         out["cd"] = compute_cd(reference, samples)
+        _log("cd", t0)
     if "emd" in metrics:
+        t0 = time.perf_counter()
         out["emd"] = compute_emd(reference, samples)
+        _log("emd", t0)
     if "jsd" in metrics:
+        t0 = time.perf_counter()
         out["jsd"] = compute_jsd(reference, samples, data_type)
+        _log("jsd", t0)
     if "mmd" in metrics:
+        t0 = time.perf_counter()
         out["mmd"] = compute_mmd(reference, samples, data_type)
+        _log("mmd", t0)
     for name in ("frid", "fsvd", "fpvd"):
         if name in metrics:
             fn = feature_fn.get(name) if isinstance(feature_fn, dict) \
                 else feature_fn
             assert fn is not None, f"{name} needs a feature extractor"
+            t0 = time.perf_counter()
             f1 = fn(reference)
             f2 = fn(samples)
             out[name] = frechet_distance(np.asarray(f1), np.asarray(f2))
+            _log(name, t0)
     return out

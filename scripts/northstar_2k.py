@@ -140,7 +140,7 @@ def main():
 
     t_eval0 = time.perf_counter()
     metrics = evaluate(ref, clouds, ["jsd", "mmd", "frid"], "64",
-                       feature_fn=ffn)
+                       feature_fn=ffn, verbose=True)
     eval_seconds = time.perf_counter() - t_eval0
     total = gen_seconds + eval_seconds
 
