@@ -1,0 +1,146 @@
+"""Device-side metric featurization for the serving/eval loop.
+
+The host pipeline (``eval/metrics.py``) consumes ragged numpy clouds — right
+for offline eval of arbitrary sample sets, wrong inside a TPU serving loop:
+reading 2k decoded clouds back through the relay costs ~100 MB per batch and
+the host then re-bins what the chip just computed. These helpers compute the
+*sufficient statistics* of JSD / MMD / FRID on device, per generated batch, so
+the only readbacks are a (nx, ny) histogram, (B, nx*ny) occupancy bitmaps and
+(B, D) feature rows.
+
+Equivalence with the host metrics is tested in
+``tests/test_eval_metrics.py`` (same binning rules: strict range bounds,
+floor / voxel, min-corner shift — metric_utils.py:233-284).
+"""
+from __future__ import annotations
+
+import math
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .metrics import BIG_SENTINEL, DATA_CONFIG
+
+Array = jax.Array
+
+
+def _grid_dims(data_type: str, voxel_size: float) -> Tuple[int, int, int, int]:
+    cfg = DATA_CONFIG[data_type]
+    x_range, y_range = cfg["x"], cfg["y"]
+    nx = math.ceil((x_range[1] - x_range[0]) / voxel_size)
+    ny = math.ceil((y_range[1] - y_range[0]) / voxel_size)
+    min_bx = math.ceil(x_range[0] / voxel_size)
+    min_by = math.ceil(y_range[0] / voxel_size)
+    return nx, ny, min_bx, min_by
+
+
+def _cell_index(xyz: Array, valid: Array, data_type: str, voxel_size: float
+                ) -> Tuple[Array, int, int]:
+    """Per-point flat BEV cell index, invalid/out-of-range routed to a dump
+    slot at nx*ny. Binning matches bev_count_histogram / _bev_bin_cells."""
+    cfg = DATA_CONFIG[data_type]
+    (x0, x1), (y0, y1) = cfg["x"], cfg["y"]
+    nx, ny, min_bx, min_by = _grid_dims(data_type, voxel_size)
+    x, y = xyz[..., 0], xyz[..., 1]
+    inb = valid & (x > x0) & (x < x1) & (y > y0) & (y < y1)
+    vx = jnp.clip(jnp.floor(x / voxel_size).astype(jnp.int32) - min_bx,
+                  0, nx - 1)
+    vy = jnp.clip(jnp.floor(y / voxel_size).astype(jnp.int32) - min_by,
+                  0, ny - 1)
+    return jnp.where(inb, vx * ny + vy, nx * ny), nx, ny
+
+
+def bev_occupancy_bitmaps(xyz: Array, valid: Array, data_type: str = "64",
+                          voxel_size: float = 0.5) -> Array:
+    """(B, N, 3) points -> (B, nx*ny) bool per-cloud BEV occupancy."""
+    pix, nx, ny = _cell_index(xyz, valid, data_type, voxel_size)
+
+    def one(p):
+        g = jnp.zeros((nx * ny + 1,), bool).at[p].set(True)
+        return g[: nx * ny]
+
+    return jax.vmap(one)(pix)
+
+
+def bev_hist_accumulate(xyz: Array, valid: Array, data_type: str = "64",
+                        voxel_size: float = 0.05) -> Array:
+    """(B, N, 3) points -> (nx, ny) f32 sum over the batch of per-cloud
+    occupancy (the JSD count histogram's batch contribution)."""
+    pix, nx, ny = _cell_index(xyz, valid, data_type, voxel_size)
+
+    def body(acc, p):
+        occ = jnp.zeros((nx * ny + 1,), bool).at[p].set(True)
+        return acc + occ[: nx * ny].astype(jnp.float32), 0.0
+
+    acc, _ = jax.lax.scan(body, jnp.zeros((nx * ny,), jnp.float32), pix)
+    return acc.reshape(nx, ny)
+
+
+def jsd_from_hists(p: np.ndarray, q: np.ndarray) -> float:
+    """compute_jsd's tail on pre-accumulated count histograms."""
+    p = (p / p.sum()).ravel()
+    q = (q / q.sum()).ravel()
+    m = 0.5 * (p + q)
+
+    def kl(a, b):
+        mask = a > 0
+        return float(np.sum(a[mask] * np.log(a[mask] / b[mask])))
+
+    js = 0.5 * kl(p, m) + 0.5 * kl(q, m)
+    return float(np.sqrt(max(js, 0.0)))
+
+
+def _edt_from_bitmaps(bits: np.ndarray, nx: int, ny: int
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """(N, nx*ny) bool -> (occ f32, squared EDT f32) as in
+    metrics._occupancy_and_sq_edt (empty clouds get BIG everywhere)."""
+    from scipy import ndimage
+
+    occ = bits.astype(np.float32)
+    sq = np.empty_like(occ)
+    for i in range(bits.shape[0]):
+        g = bits[i].reshape(nx, ny)
+        if not g.any():
+            occ[i] = 0.0
+            sq[i] = BIG_SENTINEL
+            continue
+        d = ndimage.distance_transform_edt(~g, sampling=(1.0 / nx, 1.0 / ny))
+        sq[i] = (d.astype(np.float32) ** 2).ravel()
+    return occ, sq
+
+
+def mmd_from_bitmaps(ref_bits: np.ndarray, smp_bits: np.ndarray,
+                     data_type: str = "64", voxel_size: float = 0.5) -> float:
+    """compute_mmd on device-computed occupancy bitmaps (host EDT + matmul)."""
+    nx, ny, _, _ = _grid_dims(data_type, voxel_size)
+    occ_r, sq_r = _edt_from_bitmaps(np.asarray(ref_bits), nx, ny)
+    occ_s, sq_s = _edt_from_bitmaps(np.asarray(smp_bits), nx, ny)
+    cnt_r = np.maximum(occ_r.sum(-1), 1.0)
+    cnt_s = np.maximum(occ_s.sum(-1), 1.0)
+    d_rs = (occ_r @ sq_s.T) / cnt_r[:, None]
+    d_sr = (occ_s @ sq_r.T) / cnt_s[:, None]
+    cd = 0.5 * (d_rs + d_sr.T)
+    return float(np.mean(cd.min(axis=1)))
+
+
+def rangenet_input_from_model_imgs(imgs: Array, geom) -> Array:
+    """Decoded model-space range images (B, H, W) -> the (B, H, W, 4)
+    [metric depth, x, y, z] rangenet eval input (metric_utils.py:316-321).
+
+    The host path (``preprocess_range_batch``) reprojects the decoded cloud
+    and re-rasterizes; reprojected points sit exactly on pixel-floor
+    boundaries, so that round trip only reshuffles points across adjacent
+    pixels by float-ulp noise. Here the raster IS the decoded image, so the
+    conversion is direct; within one evaluation both reference and sample
+    sides must use the same path (this one or the host one)."""
+    from ..ops import lidar as L
+
+    def one(img):
+        d = L.model_to_depth(img, geom, clamp=False)
+        xyz, valid = L.range2xyz(img, geom, from_model_space=True)
+        d = jnp.where(valid, d, -1.0)
+        return jnp.concatenate([d[..., None], xyz], axis=-1)
+
+    return jax.vmap(one)(imgs)

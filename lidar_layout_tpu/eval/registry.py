@@ -26,6 +26,28 @@ MODALITY2MODEL = {"range": "rangenet", "voxel": "minkowskinet",
                   "point_voxel": "spvcnn"}
 
 
+def build_range_feature_net(data_type: str = "64",
+                            weights_root: str = "./pretrained_weights"):
+    """DarkNet21 feature net + params (pretrained when weights exist) — the
+    building block behind build_feature_fn's range modality, exposed so
+    device-side eval loops can apply the net to on-chip range inputs."""
+    geom = KITTI_GEOMETRY if data_type == "64" else NUSCENES_GEOMETRY
+    wdir = os.path.join(weights_root,
+                        "kitti" if data_type == "64" else "nuscenes",
+                        "rangenet")
+    net = RangeNet(layers=21)
+    params = net.init(jax.random.key(0), jnp.zeros((1, *geom.size, 4)))
+    if os.path.isdir(wdir):
+        from .rangenet import load_torch_weights
+        params = load_torch_weights(
+            params, os.path.join(wdir, "backbone"),
+            os.path.join(wdir, "segmentation_decoder"))
+    else:
+        print(f"[eval] no pretrained weights at {wdir} — rangenet features "
+              f"are randomly initialized (relative comparisons only)")
+    return net, params
+
+
 def build_feature_fn(data_type: str = "64", modality: str = "range",
                      weights_root: str = "./pretrained_weights",
                      max_points: int = 30000,
@@ -39,19 +61,12 @@ def build_feature_fn(data_type: str = "64", modality: str = "range",
     dataset = "kitti" if data_type == "64" else "nuscenes"
     wdir = os.path.join(weights_root, dataset, model_name)
     have_weights = os.path.isdir(wdir)
-    if not have_weights:
+    if not have_weights and modality != "range":  # range helper prints its own
         print(f"[eval] no pretrained weights at {wdir} — {model_name} features "
               f"are randomly initialized (relative comparisons only)")
 
     if modality == "range":
-        net = RangeNet(layers=21)
-        x0 = jnp.zeros((1, *geom.size, 4))
-        params = net.init(jax.random.key(0), x0)
-        if have_weights:
-            from .rangenet import load_torch_weights
-            params = load_torch_weights(params,
-                                        os.path.join(wdir, "backbone"),
-                                        os.path.join(wdir, "segmentation_decoder"))
+        net, params = build_range_feature_net(data_type, weights_root)
 
         @jax.jit
         def feats(imgs):

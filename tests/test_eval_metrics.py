@@ -146,6 +146,76 @@ class TestFeatureFn:
         np.testing.assert_allclose(f2, f4, rtol=1e-4, atol=1e-5)
 
 
+class TestDeviceMetrics:
+    """Device-side sufficient statistics == host metrics (serving loop path)."""
+
+    def _clouds(self, rng, n_clouds=4, n=1500):
+        # clip into the 64-beam BEV range with some out-of-range strays
+        return np.stack([(rng.standard_normal((n, 3)) * 18).astype(np.float32)
+                         for _ in range(n_clouds)])
+
+    def test_jsd_from_device_hists(self, rng):
+        from lidar_layout_tpu.eval import device_metrics as D
+
+        ref = self._clouds(rng)
+        smp = self._clouds(rng)
+        valid = jnp.ones(ref.shape[:2], bool)
+        hp = np.asarray(D.bev_hist_accumulate(jnp.asarray(ref), valid))
+        hq = np.asarray(D.bev_hist_accumulate(jnp.asarray(smp), valid))
+        got = D.jsd_from_hists(hp, hq)
+        want = M.compute_jsd(list(ref), list(smp))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_jsd_hist_respects_validity_mask(self, rng):
+        from lidar_layout_tpu.eval import device_metrics as D
+
+        ref = self._clouds(rng, n_clouds=2)
+        valid = jnp.ones(ref.shape[:2], bool).at[:, ::2].set(False)
+        h = np.asarray(D.bev_hist_accumulate(jnp.asarray(ref), valid))
+        want = M.bev_count_histogram([c[1::2] for c in ref])
+        np.testing.assert_allclose(h, want)
+
+    def test_mmd_from_device_bitmaps(self, rng):
+        from lidar_layout_tpu.eval import device_metrics as D
+
+        ref = self._clouds(rng)
+        smp = self._clouds(rng)
+        valid = jnp.ones(ref.shape[:2], bool)
+        rb = np.asarray(D.bev_occupancy_bitmaps(jnp.asarray(ref), valid))
+        sb = np.asarray(D.bev_occupancy_bitmaps(jnp.asarray(smp), valid))
+        got = D.mmd_from_bitmaps(rb, sb)
+        want = M.compute_mmd(list(ref), list(smp))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-8)
+
+    def test_rangenet_input_matches_host_path(self, rng):
+        from lidar_layout_tpu.eval import device_metrics as D
+        from lidar_layout_tpu.eval.rangenet import preprocess_range_batch
+        from lidar_layout_tpu.ops import lidar as L
+        from lidar_layout_tpu.ops.lidar import KITTI_GEOMETRY as geom
+
+        # model-space range images from synthetic clouds
+        pts = (rng.standard_normal((2, 4000, 3)) * 15).astype(np.float32)
+        imgs = []
+        for p in pts:
+            img, _ = L.pcd2range(jnp.asarray(p), geom)
+            m, _ = L.process_scan(img, geom)
+            imgs.append(m)
+        imgs = jnp.stack(imgs)
+
+        got = np.asarray(D.rangenet_input_from_model_imgs(imgs, geom))
+        # host path: decode to clouds (drop invalid rows), then re-rasterize.
+        # Reprojected points sit exactly on pixel-floor boundaries, so the
+        # two paths may disagree on a small fraction of pixels (ulp flips to
+        # a neighboring pixel); everywhere else they must agree.
+        clouds = []
+        for im in imgs:
+            xyz, valid = L.range2pcd(im, geom)
+            clouds.append(np.asarray(xyz)[np.asarray(valid)])
+        want = preprocess_range_batch(clouds, geom)
+        same = np.all(np.isclose(got, want, rtol=1e-4, atol=1e-4), axis=-1)
+        assert same.mean() > 0.99, f"pixel agreement only {same.mean():.4f}"
+
+
 class TestRangeNet:
     def test_preprocess_matches_jax_projection(self, rng):
         """Host-numpy eval preprocessing == ops.lidar pcd2range/range2xyz."""
