@@ -44,6 +44,12 @@ def main():
                         "first stage's latents aren't unit-variance")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--tiny", action="store_true", help="CI-sized smoke run")
+    p.add_argument("--ae-ch", type=int, default=0,
+                   help="stage-A base width override (0 = family default; "
+                        "the reference flagship uses ch=64, "
+                        "configs/autoencoder/kitti/autoencoder_c2_p4.yaml)")
+    p.add_argument("--n-embed", type=int, default=2048,
+                   help="VQ codebook size (reference flagship: 16384)")
     args = p.parse_args()
 
     import jax
@@ -88,7 +94,7 @@ def main():
         n_points = 16384
     else:
         geom = KITTI_GEOMETRY
-        ae_cfg = AEConfig(ch=32, ch_mult=(1, 2, 2, 4),
+        ae_cfg = AEConfig(ch=args.ae_ch or 32, ch_mult=(1, 2, 2, 4),
                           strides=((1, 2), (2, 2), (2, 2)), z_channels=8,
                           out_ch=2, num_res_blocks=2)
         unet_cfg = UNetConfig(in_channels=8, model_channels=128,
@@ -150,7 +156,7 @@ def main():
 
     # ------------------------------- stage A: VQ-GAN AE -------------------
     print("[northstar] stage A: training VQ-GAN AE...", flush=True)
-    ae = VQModel(ae_cfg, n_embed=2048, embed_dim=8, use_mask=True)
+    ae = VQModel(ae_cfg, n_embed=args.n_embed, embed_dim=8, use_mask=True)
     loss_cfg = VQLossConfig(mask_factor=1.0, geo_factor=1.0, curve_length=1,
                             disc_start=2000, disc_weight=0.3)
     geo = GeoConverter(geom, curve_length=loss_cfg.curve_length)
@@ -213,7 +219,7 @@ def main():
         import dataclasses
         diff_cfg = dataclasses.replace(diff_cfg, scale_by_std=True)
     model = LatentDiffusion(diff_cfg, unet_cfg, first_stage_cfg=ae_cfg,
-                            n_embed=2048, embed_dim=8, use_mask=True)
+                            n_embed=args.n_embed, embed_dim=8, use_mask=True)
     params = model.init(jax.random.key(1), image_shape=(h, w, 1))
     params["first_stage"] = ae_state.params_g  # trained stage A, frozen
     if args.scale_by_std:

