@@ -35,19 +35,23 @@ import jax.numpy as jnp
 
 Array = jax.Array
 
-# Scoped-VMEM budget for one grid step. Measured footprint (v5e, Mosaic):
-# double-buffered input (2 * n*c*itemsize) + double-buffered output (same)
-# + two materialized f32 intermediates xf and y (2 * n*c*4) — an f32
-# (1, 2048, 384) block allocates 18.8 MB on the 16 MB stack (observed
-# kernel-vmem-stack OOM at batch 125 full-res norms), while the same bf16
-# block needs 12.6 MB and fits. Budget at 14 MB (~2 MB headroom for
-# gamma/beta/one-hot and semaphores): full-res bf16 norms (the bench
-# sampling path) keep the kernel; oversized f32 blocks fall back to XLA.
-_VMEM_BUDGET = 14 * 1024 * 1024
+# Scoped-VMEM accounting for one grid step. jax 0.9's Mosaic allocates
+# ~25.3 B/element for a bf16 block (observed: bf16 (1, 512, 1536) block =
+# 786k elements -> 18.98 MB stack; the jax 0.5 compiler charged the same
+# block <16 MB) — double-buffered in+out plus several materialized f32
+# intermediates (xf, xf*xf, y, sigmoid(y)). Estimate conservatively at
+# 4*itemsize + 20 B/elem (28 B bf16 / 36 B f32) and raise the kernel's
+# scoped-vmem limit from the 16 MB default to _VMEM_LIMIT via
+# CompilerParams.vmem_limit_bytes — v5e has 128 MB VMEM, and this kernel
+# wants big single-residency blocks (that's the whole point: one HBM
+# read + one write). Blocks whose estimate exceeds _VMEM_BUDGET (1.33x
+# headroom under the limit) fall back to the plain XLA path.
+_VMEM_LIMIT = 64 * 1024 * 1024
+_VMEM_BUDGET = 48 * 1024 * 1024
 
 
 def _vmem_estimate(n: int, c: int, itemsize: int) -> int:
-    return n * c * (4 * itemsize + 8)
+    return n * c * (4 * itemsize + 20)
 
 
 def _ref(x: Array, gamma: Array, beta: Array, num_groups: int, eps: float,
@@ -120,6 +124,14 @@ def _supports_fused(x: Array) -> bool:
     return _vmem_estimate(n, c, x.dtype.itemsize) <= _VMEM_BUDGET
 
 
+def _compiler_params(interpret: bool):
+    if interpret:
+        return None  # interpreter mode ignores (and may reject) TPU params
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+
+
 def _fused_fwd(x: Array, gamma: Array, beta: Array, num_groups: int,
                eps: float, act: bool, interpret: bool = False) -> Array:
     from jax.experimental import pallas as pl
@@ -141,6 +153,7 @@ def _fused_fwd(x: Array, gamma: Array, beta: Array, num_groups: int,
             pl.BlockSpec((1, c), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, n, c), lambda i: (i, 0, 0)),
+        compiler_params=_compiler_params(interpret),
         cost_estimate=pl.CostEstimate(
             flops=10 * b * n * c,
             bytes_accessed=2 * b * n * c * x.dtype.itemsize,

@@ -71,13 +71,15 @@ def test_supports_fused_gate():
     assert _supports_fused(jnp.zeros((2, 16, 128, 256), jnp.bfloat16))
     # C not lane-aligned -> XLA fallback
     assert not _supports_fused(jnp.zeros((2, 16, 128, 64), jnp.bfloat16))
-    # block too large for VMEM -> fallback
+    # block too large for VMEM -> fallback (65536x256 f32 ~ 600 MB estimate)
     assert not _supports_fused(jnp.zeros((1, 64, 1024, 256), jnp.float32))
-    # dtype-aware boundary: the full-res U-Net out-block norm (N=16*128,
-    # C=384) fits in f32? No — 2*in + 2*out + two f32 intermediates is
-    # 18.8 MB on the 16 MB VMEM stack (observed OOM); bf16 is 12.6 MB.
-    assert not _supports_fused(jnp.zeros((125, 16, 128, 384), jnp.float32))
+    # dtype-aware boundary under the raised 64 MB scoped-vmem limit
+    # (jax 0.9 Mosaic charges ~25 B/elem for a bf16 block — see _VMEM_LIMIT):
+    # full-res out-block norms fit in both dtypes now (28 MB f32 / 22 MB bf16
+    # estimates), while a 2048x2048 bf16 block (117 MB estimate) falls back.
+    assert _supports_fused(jnp.zeros((125, 16, 128, 384), jnp.float32))
     assert _supports_fused(jnp.zeros((125, 16, 128, 384), jnp.bfloat16))
+    assert not _supports_fused(jnp.zeros((8, 16, 128, 2048), jnp.bfloat16))
 
 
 def test_group_norm_fallback_matches_old_normalize():
