@@ -22,6 +22,12 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def majority_beats(trained, baseline, mset):
+    """Per-metric wins + majority verdict (lower is better for all metrics)."""
+    per = {k: bool(trained[k] < baseline[k]) for k in mset}
+    return per, sum(per.values()) * 2 > len(per)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--ae-steps", type=int, default=6000)
@@ -395,9 +401,13 @@ def main():
                              for k, v in m_recon.items()},
         "heldout_self": {k: round(float(v), 6) for k, v in m_self.items()},
     }
-    report["trained_beats_random"] = bool(
-        m_trained["jsd"] < m_random["jsd"])
-    report["trained_beats_noise"] = bool(m_trained["jsd"] < m_noise["jsd"])
+    # verdicts: majority vote over the metric set, per-metric detail alongside
+    per_random, maj_random = majority_beats(m_trained, m_random, mset)
+    per_noise, maj_noise = majority_beats(m_trained, m_noise, mset)
+    report["trained_beats_random"] = maj_random
+    report["trained_beats_noise"] = maj_noise
+    report["trained_beats_random_per_metric"] = per_random
+    report["trained_beats_noise_per_metric"] = per_noise
     report["total_seconds"] = round(time.perf_counter() - t_start, 1)
     report["hardware"] = str(jax.devices()[0].platform)
     report["description"] = (
