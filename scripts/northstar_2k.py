@@ -144,16 +144,17 @@ def main():
 
     @jax.jit
     def ref_batch(pm, pts, hist):
-        valid = jnp.ones(pts.shape[:2], bool)
-        hist = hist + bev_hist_accumulate(pts, valid, "64", 0.05)
-        bits = bev_occupancy_bitmaps(pts, valid, "64", 0.5)
-
-        def one(p):
-            d, _ = L.pcd2range(p, geom)
-            x2, _ = L.range2xyz(d, geom, from_model_space=False)
-            return jnp.concatenate([d[..., None], x2], -1)
-
-        feats = _rangenet_feats(pm, jax.vmap(one)(pts))
+        # Reference side goes through the SAME range roundtrip as generated
+        # samples: the reference evaluates against example['reproj'] — range-
+        # projected + reprojected clouds (kitti.py:75-77, sample.py:298-300)
+        # — never raw scans. Raw-vs-reproj is apples-to-oranges (~+0.13 JSD,
+        # ~2x MMD on 32-scene probes: 82% of points are dropped by the
+        # 64x1024 projection).
+        imgs, _ = jax.vmap(lambda p: project(p))(pts)
+        xyz, valid = jax.vmap(lambda im: L.range2pcd(im, geom))(imgs)
+        hist = hist + bev_hist_accumulate(xyz, valid, "64", 0.05)
+        bits = bev_occupancy_bitmaps(xyz, valid, "64", 0.5)
+        feats = _rangenet_feats(pm, rangenet_input_from_model_imgs(imgs, geom))
         return hist, bits, feats
 
     # held-out references (the "dataset" side of the loop; built + scored

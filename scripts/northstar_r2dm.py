@@ -88,8 +88,20 @@ def main():
         # stand-in intensity: radial falloff where there is a return
         pool[i, ..., 1] = np.where(np.asarray(mask),
                                    1.0 / (1.0 + np.asarray(m) + 1.0), -1.0)
-    ref_clouds = [synthetic_scene(np.random.default_rng(10_000 + i), n_points)
-                  for i in range(args.n_eval)]
+    # references are REPROJECTED clouds (range roundtrip) like the reference's
+    # example['reproj'] eval convention (kitti.py:75-77, sample.py:298-300) —
+    # generated clouds come from range images, so must the reference side
+    @jax.jit
+    def reproject(pts):
+        img, _ = L.pcd2range(pts, geom)
+        m, _ = L.process_scan(img, geom)
+        return L.range2pcd(m, geom)
+
+    ref_clouds = []
+    for i in range(args.n_eval):
+        xyz, valid = jax.tree.map(np.asarray, reproject(jnp.asarray(
+            synthetic_scene(np.random.default_rng(10_000 + i), n_points))))
+        ref_clouds.append(xyz[valid])
 
     params = model.init(jax.random.key(0))
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(args.lr))

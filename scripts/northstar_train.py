@@ -131,10 +131,23 @@ def main():
         model_img, hit = project(jnp.asarray(pts))
         pool[i, ..., 0] = np.asarray(model_img)
         pool_mask[i, ..., 0] = np.asarray(hit).astype(np.float32)
-    ref_clouds = []
+    # Held-out references are REPROJECTED clouds (range roundtrip), matching
+    # the reference's eval convention: sample.py:298-300 collates
+    # example['reproj'] = range2pcd(pcd2range(scan)) (kitti.py:75-77), never
+    # the raw scan. Raw-vs-reproj is apples-to-oranges (~+0.13 JSD, ~2x MMD:
+    # the 64x1024 projection drops ~82% of a 120k-point scene).
+    @jax.jit
+    def reproject(pts):
+        img, _ = L.pcd2range(pts, geom)
+        model_img, _ = L.process_scan(img, geom)
+        return L.range2pcd(model_img, geom)
+
+    ref_raw, ref_clouds = [], []
     for i in range(args.n_eval):
-        ref_clouds.append(synthetic_scene(
-            np.random.default_rng(10_000 + i), n_points))
+        pts = synthetic_scene(np.random.default_rng(10_000 + i), n_points)
+        ref_raw.append(pts)
+        xyz, valid = jax.tree.map(np.asarray, reproject(jnp.asarray(pts)))
+        ref_clouds.append(xyz[valid])
 
     # device-resident pool: per step only a handful of int32 indices cross the
     # relay. (Host->device batches every step pinned unbounded client memory —
@@ -342,7 +355,7 @@ def main():
     recon_clouds = []
     for i in range(0, args.n_eval, batch):
         imgs = np.stack([np.asarray(project(jnp.asarray(p))[0])[..., None]
-                         for p in ref_clouds[i:i + batch]])
+                         for p in ref_raw[i:i + batch]])
         xyz, valid = jax.tree.map(
             np.asarray, ae_recon_batch(trained, jnp.asarray(imgs)))
         for pc, v in zip(xyz, valid):

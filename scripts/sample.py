@@ -53,23 +53,12 @@ def main():
     from lidar_layout_tpu.models.samplers import (ddim_sample, ddpm_sample,
                                                   dpm_solver_sample,
                                                   plms_sample)
-    from lidar_layout_tpu.ops.lidar import (KITTI_GEOMETRY, NUSCENES_GEOMETRY,
-                                            range2pcd)
+    from lidar_layout_tpu.ops.lidar import range2pcd
 
     cfg = load_yaml(args.base)
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     model = instantiate_from_config(cfg["model"], dtype=dtype)
-    dset_cfg = cfg.get("data", {}).get("params", {}).get("dataset", {})
-    if dset_cfg:
-        from lidar_layout_tpu.ops.lidar import LidarGeometry
-        geom = LidarGeometry(
-            size=tuple(dset_cfg.get("size", (64, 1024))),
-            fov=tuple(dset_cfg.get("fov", (3, -25))),
-            depth_range=tuple(dset_cfg.get("depth_range", (1.0, 56.0))),
-            depth_scale=dset_cfg.get("depth_scale", 5.84),
-            log_scale=dset_cfg.get("log_scale", True))
-    else:
-        geom = KITTI_GEOMETRY if args.dataset == "64" else NUSCENES_GEOMETRY
+    geom = _geometry(args)
 
     if args.file:
         # eval-only on pre-generated samples (reference sample.py:227-250,
@@ -146,6 +135,28 @@ def main():
         _evaluate(args, all_pcds)
 
 
+def _geometry(args):
+    """Projection geometry: the config's dataset block if present, else the
+    per-dataset default (reference wires dataset_config into everything,
+    main.py:558-559)."""
+    from lidar_layout_tpu.config import load_yaml
+    from lidar_layout_tpu.ops.lidar import (KITTI_GEOMETRY, LidarGeometry,
+                                            NUSCENES_GEOMETRY)
+
+    dset_cfg = {}
+    if getattr(args, "base", None):
+        cfg = load_yaml(args.base)
+        dset_cfg = cfg.get("data", {}).get("params", {}).get("dataset", {})
+    if dset_cfg:
+        return LidarGeometry(
+            size=tuple(dset_cfg.get("size", (64, 1024))),
+            fov=tuple(dset_cfg.get("fov", (3, -25))),
+            depth_range=tuple(dset_cfg.get("depth_range", (1.0, 56.0))),
+            depth_scale=dset_cfg.get("depth_scale", 5.84),
+            log_scale=dset_cfg.get("log_scale", True))
+    return KITTI_GEOMETRY if args.dataset == "64" else NUSCENES_GEOMETRY
+
+
 def _evaluate(args, all_pcds):
     """The reference's quality gate (lidm/eval/eval_utils.py evaluate):
     score samples against REAL held-out scans, with perceptual FRID/
@@ -179,6 +190,36 @@ def _evaluate(args, all_pcds):
               "set (relative comparisons only, NOT the published tables)")
         ref = [synthetic_scene(np.random.default_rng(i))
                for i in range(len(all_pcds))]
+
+    # Range-roundtrip the references: the reference evaluates samples against
+    # example['reproj'] = range2pcd(pcd2range(scan)) (kitti.py:75-77,
+    # sample.py:298-300), NOT raw scans — both sides of evaluate() live in
+    # range-image space. Fixed-capacity padding keeps this one compile for
+    # ragged scans (each new shape would be a fresh remote TPU compile).
+    import jax
+    import jax.numpy as jnp
+
+    from lidar_layout_tpu.ops import lidar as L
+
+    geom = _geometry(args)
+    cap = 1 << int(np.ceil(np.log2(max(len(p) for p in ref))))
+
+    @jax.jit
+    def _reproj(pts, mask):
+        img, _ = L.pcd2range(pts, geom, mask=mask)
+        model_img, _ = L.process_scan(img, geom)
+        return L.range2pcd(model_img, geom)
+
+    rref = []
+    for p in ref:
+        pad = np.zeros((cap, 3), np.float32)
+        pad[: len(p)] = p[:cap]
+        m = np.zeros((cap,), bool)
+        m[: len(p)] = True
+        xyz, valid = jax.tree.map(np.asarray,
+                                  _reproj(jnp.asarray(pad), jnp.asarray(m)))
+        rref.append(xyz[valid])
+    ref = rref
 
     feature_fn = {}
     modalities = {"frid": "range", "fsvd": "voxel", "fpvd": "point_voxel"}
