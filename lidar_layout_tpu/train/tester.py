@@ -12,7 +12,7 @@ Usage:
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Iterable, Optional, Type
+from typing import Any, Callable, Dict, Iterable, Optional, Sequence, Type
 
 import numpy as np
 
@@ -148,3 +148,107 @@ class ReconTester(TesterBase):
         mse = self.sq_err / max(self.n, 1)
         psnr = 10.0 * np.log10(4.0 / max(mse, 1e-12))  # range [-1, 1]
         return {"mae": mae, "mse": mse, "psnr": float(psnr)}
+
+
+@register_tester
+class ClsVotingTester(TesterBase):
+    """Vote-augmented classification (engines/test.py:677-793): each batch is
+    one sample's stack of augmented views; predictions are softmax-summed over
+    the views before the argmax. ``apply_fn(batch) -> (V, num_classes)``
+    logits for the V views in ``batch["voting"]``; batch carries a scalar
+    ``"category"`` label. ``test_repeated`` mirrors the reference's
+    ``num_repeat`` best-record loop (the views are randomly augmented, so each
+    pass differs): call it with a factory yielding a fresh batch iterable.
+    """
+
+    def __init__(self, apply_fn, num_classes: int, num_repeat: int = 1,
+                 metric: str = "allAcc", verbose: bool = False):
+        super().__init__(apply_fn, verbose)
+        self.num_classes = num_classes
+        self.num_repeat = num_repeat
+        self.metric = metric
+        self._reset()
+
+    def _reset(self):
+        self.inter = np.zeros(self.num_classes)
+        self.target = np.zeros(self.num_classes)
+
+    def update(self, outputs, batch):
+        logits = np.asarray(outputs).reshape(-1, self.num_classes)
+        x = logits - logits.max(-1, keepdims=True)
+        prob = np.exp(x) / np.exp(x).sum(-1, keepdims=True)
+        pred = int(prob.sum(0).argmax())
+        cat = int(np.asarray(batch["category"]).reshape(()))
+        self.inter[cat] += pred == cat
+        self.target[cat] += 1
+
+    def summary(self):
+        present = self.target > 0
+        acc = self.inter / np.maximum(self.target, 1)
+        return {
+            "mAcc": float(acc[present].mean()) if present.any() else 0.0,
+            "allAcc": float(self.inter.sum() / max(self.target.sum(), 1)),
+        }
+
+    def test_repeated(self, batches_factory: Callable[[], Iterable]) -> Dict:
+        """num_repeat passes, keep the best record by ``metric``
+        (engines/test.py:692-705)."""
+        best: Dict[str, float] = {}
+        for i in range(self.num_repeat):
+            self._reset()
+            record = self.test(batches_factory())
+            if not best or record[self.metric] > best[self.metric]:
+                best = dict(record, best_pass=i)
+        return best
+
+
+@register_tester
+class PartSegTester(TesterBase):
+    """Part segmentation (engines/test.py:794-888): per sample, softmax-sum
+    the view predictions, then score IoU only over the parts belonging to the
+    sample's object category (``category2part``); both-empty parts count as
+    IoU 1. Summary: ``ins_mIoU`` (instance-averaged) and ``cat_mIoU``
+    (category-averaged). ``apply_fn(batch) -> (V, N, num_classes)`` logits;
+    batch carries ``"label"`` (N,) part ids and scalar ``"category"``.
+    """
+
+    def __init__(self, apply_fn, num_classes: int,
+                 category2part: Dict[int, Sequence[int]],
+                 verbose: bool = False):
+        super().__init__(apply_fn, verbose)
+        self.num_classes = num_classes
+        self.category2part = {int(k): list(v)
+                              for k, v in category2part.items()}
+        n_cat = max(self.category2part) + 1
+        self.iou_category = np.zeros(n_cat)
+        self.iou_count = np.zeros(n_cat)
+
+    def update(self, outputs, batch):
+        logits = np.asarray(outputs)
+        logits = logits.reshape(-1, logits.shape[-2], self.num_classes)
+        x = logits - logits.max(-1, keepdims=True)
+        prob = np.exp(x) / np.exp(x).sum(-1, keepdims=True)
+        pred = prob.sum(0).argmax(-1)                      # (N,)
+        label = np.asarray(batch["label"]).reshape(-1)
+        cat = int(np.asarray(batch["category"]).reshape(()))
+        parts = self.category2part[cat]
+        ious = np.zeros(len(parts))
+        for j, part in enumerate(parts):
+            p, t = pred == part, label == part
+            if not t.any() and not p.any():
+                ious[j] = 1.0
+            else:
+                ious[j] = np.logical_and(p, t).sum() / (
+                    np.logical_or(p, t).sum() + 1e-10)
+        self.iou_category[cat] += ious.mean()
+        self.iou_count[cat] += 1
+
+    def summary(self):
+        present = self.iou_count > 0
+        per_cat = self.iou_category / np.maximum(self.iou_count, 1)
+        return {
+            "ins_mIoU": float(self.iou_category.sum()
+                              / max(self.iou_count.sum(), 1e-10)),
+            "cat_mIoU": float(per_cat[present].mean()) if present.any()
+            else 0.0,
+        }
