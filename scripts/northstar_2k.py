@@ -36,6 +36,14 @@ def main():
     p.add_argument("--out", default="NORTHSTAR_2K.json")
     p.add_argument("--smoke", action="store_true",
                    help="CPU logic check: random weights, tiny counts")
+    p.add_argument("--ae-ch", type=int, default=32,
+                   help="stage-A base width — must match the restored "
+                        "northstar_train run's --ae-ch")
+    p.add_argument("--n-embed", type=int, default=2048,
+                   help="VQ codebook size — must match the run's --n-embed")
+    p.add_argument("--lidm-steps", type=int, default=36000,
+                   help="the run's --lidm-steps (fixes the cosine-schedule "
+                        "opt-state tree for orbax restore)")
     args = p.parse_args()
 
     import jax
@@ -71,7 +79,7 @@ def main():
     # production north-star config (northstar_train.py, non-tiny branch)
     geom = KITTI_GEOMETRY
     h, w = geom.size
-    ae_cfg = AEConfig(ch=32, ch_mult=(1, 2, 2, 4),
+    ae_cfg = AEConfig(ch=args.ae_ch, ch_mult=(1, 2, 2, 4),
                       strides=((1, 2), (2, 2), (2, 2)), z_channels=8,
                       out_ch=2, num_res_blocks=2)
     unet_cfg = UNetConfig(in_channels=8, model_channels=128, out_channels=8,
@@ -81,7 +89,7 @@ def main():
                                linear_end=0.0195, latent_shape=(16, 128, 8),
                                scale_by_std=True)
     model = LatentDiffusion(diff_cfg, unet_cfg, first_stage_cfg=ae_cfg,
-                            n_embed=2048, embed_dim=8, use_mask=True)
+                            n_embed=args.n_embed, embed_dim=8, use_mask=True)
     params = model.init(jax.random.key(1), image_shape=(h, w, 1))
     # the optimizer must match the training run's TREE STRUCTURE for orbax to
     # restore: northstar_train --cosine wraps lr in a schedule, whose
@@ -89,7 +97,7 @@ def main():
     from lidar_layout_tpu.train.lr_schedule import lambda_warmup_cosine_optax
     lr = lambda_warmup_cosine_optax(base_lr=2e-4, warm_up_steps=1000,
                                     lr_min=0.1, lr_max=1.0, lr_start=0.01,
-                                    max_decay_steps=36000)
+                                    max_decay_steps=args.lidm_steps)
     tx = make_optimizer(lr)
     dstate = create_train_state(model, params, tx)
     if not args.smoke:
