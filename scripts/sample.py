@@ -39,6 +39,10 @@ def parse_args():
     p.add_argument("--weights-root", default="./pretrained_weights")
     p.add_argument("--outdir", default="./samples")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--html", action="store_true",
+                   help="also write an interactive viewer.html of the first "
+                        "16 samples (the reference's gradio generate+view "
+                        "flow, scripts/vis_tools/lidar_generate_gradio_ui.py)")
     return p.parse_args()
 
 
@@ -130,6 +134,11 @@ def main():
     np.savez(os.path.join(args.outdir, "samples_pcd.npz"),
              **{f"pcd_{i}": p for i, p in enumerate(all_pcds[: args.n_samples])})
     print(f"wrote {len(imgs)} samples to {args.outdir}")
+    if args.html:
+        from lidar_layout_tpu.utils.vis import save_scene_grid_html
+        out = save_scene_grid_html(os.path.join(args.outdir, "viewer.html"),
+                                   all_pcds[:16])
+        print(f"interactive viewer: {out}")
 
     if args.eval:
         _evaluate(args, all_pcds)
