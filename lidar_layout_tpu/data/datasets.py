@@ -61,9 +61,18 @@ class RangeImageDataset:
     def __init__(self, root: Optional[str], dataset: str = "kitti360",
                  split: str = "train", batch_size: int = 4,
                  geom: Optional[LidarGeometry] = None, seed: int = 0,
-                 max_points: int = 130000):
+                 max_points: int = 130000,
+                 degradation: Optional[str] = None,
+                 scale_factors: Optional[tuple] = None):
         self.geom = geom or (NUSCENES_GEOMETRY if dataset.startswith("nusc")
                              else KITTI_GEOMETRY)
+        # SR-style conditioning: fixed PIL-interp downsample attached as
+        # 'degraded_image' (reference base.py:37-49, kitti.py:80-82)
+        self.degradation_transform = None
+        if degradation is not None and scale_factors is not None:
+            from .degradation import make_degradation_transform
+            self.degradation_transform = make_degradation_transform(
+                self.geom.size, scale_factors, degradation)
         self.batch_size = batch_size
         self.max_points = max_points
         self.rng = np.random.default_rng(seed)
@@ -93,14 +102,23 @@ class RangeImageDataset:
             return model, mask
 
         model, mask = proj(jnp.asarray(clouds), jnp.asarray(masks))
-        return {"image": np.asarray(model)[..., None],
-                "mask": np.asarray(mask)[..., None]}
+        return self._attach_degraded(
+            {"image": np.asarray(model)[..., None],
+             "mask": np.asarray(mask)[..., None]})
+
+    def _attach_degraded(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        if self.degradation_transform is not None:
+            batch["degraded_image"] = np.stack(
+                [self.degradation_transform(img)
+                 for img in batch["image"]]).astype(np.float32)
+        return batch
 
     def batches(self, shuffle: bool = True, use_native: bool = True
                 ) -> Iterator[Dict[str, np.ndarray]]:
         if self.synthetic:
             while True:
-                yield synthetic_range_batch(self.rng, self.batch_size, self.geom)
+                yield self._attach_degraded(
+                    synthetic_range_batch(self.rng, self.batch_size, self.geom))
 
         loader = None
         if use_native:
