@@ -376,6 +376,19 @@ def _builders():
     register("ptv3", "PT-v3m1")(
         lambda params, **kw: PTv3(build_ptv3_cfg(params)))
 
+    def build_ptv2(params, **kw):
+        """pointcept PT-v2m2 kwargs -> PointTransformerV2 (zoo entry,
+        point_transformer_v2m2_base.py:446-470)."""
+        import dataclasses
+
+        from .models.ptv2 import PointTransformerV2, PTv2Config
+        keys = {f.name for f in dataclasses.fields(PTv2Config)}
+        return PointTransformerV2(PTv2Config(**{
+            k: (tuple(v) if isinstance(v, list) else v)
+            for k, v in (params or {}).items() if k in keys}))
+
+    register("ptv2", "PT-v2m2")(build_ptv2)
+
     def _unwrap(d):
         """Accept both {target, params:{...}} wrappers and bare dicts."""
         d = d or {}
