@@ -389,6 +389,23 @@ def _builders():
 
     register("ptv2", "PT-v2m2")(build_ptv2)
 
+    def build_ptv1(blocks):
+        def build(params, **kw):
+            """pointcept PointTransformer-Seg* kwargs -> PointTransformerSeg
+            (point_transformer_seg.py:308-327 variants)."""
+            import dataclasses
+
+            from .models.ptv1 import PointTransformerSeg, PTv1Config
+            keys = {f.name for f in dataclasses.fields(PTv1Config)} - {"blocks"}
+            return PointTransformerSeg(PTv1Config(blocks=blocks, **{
+                k: (tuple(v) if isinstance(v, list) else v)
+                for k, v in (params or {}).items() if k in keys}))
+        return build
+
+    register("ptv1_seg26", "PointTransformer-Seg26")(build_ptv1((1, 1, 1, 1, 1)))
+    register("ptv1_seg38", "PointTransformer-Seg38")(build_ptv1((1, 2, 2, 2, 2)))
+    register("ptv1_seg50", "PointTransformer-Seg50")(build_ptv1((1, 2, 3, 5, 2)))
+
     def _unwrap(d):
         """Accept both {target, params:{...}} wrappers and bare dicts."""
         d = d or {}

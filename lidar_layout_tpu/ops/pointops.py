@@ -88,8 +88,9 @@ def group_points(points: Array, feats: Optional[Array], idx: Array,
 def three_nn_interpolate(query: Array, points: Array, feats: Array,
                          points_mask: Optional[Array] = None) -> Array:
     """Inverse-distance-weighted 3-NN feature interpolation
-    (pointops interpolation)."""
-    idx, d2 = knn_query(query, points, 3, points_mask)
+    (pointops interpolation). k clamps to the source count for tiny
+    (capacity < 3) coarse levels."""
+    idx, d2 = knn_query(query, points, min(3, points.shape[0]), points_mask)
     w = 1.0 / jnp.maximum(d2, 1e-8)
     w = w / jnp.sum(w, axis=-1, keepdims=True)
     return jnp.einsum("mk,mkc->mc", w, feats[idx])
