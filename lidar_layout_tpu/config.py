@@ -406,6 +406,19 @@ def _builders():
     register("ptv1_seg38", "PointTransformer-Seg38")(build_ptv1((1, 2, 2, 2, 2)))
     register("ptv1_seg50", "PointTransformer-Seg50")(build_ptv1((1, 2, 3, 5, 2)))
 
+    def build_spunet(params, **kw):
+        """pointcept SpUNet-v1m1 kwargs -> SpUNet
+        (spconv_unet_v1m1_base.py:88-100)."""
+        import dataclasses
+
+        from .models.spunet import SpUNet, SpUNetConfig
+        keys = {f.name for f in dataclasses.fields(SpUNetConfig)}
+        return SpUNet(SpUNetConfig(**{
+            k: (tuple(v) if isinstance(v, list) else v)
+            for k, v in (params or {}).items() if k in keys}))
+
+    register("spunet", "SpUNet-v1m1")(build_spunet)
+
     def _unwrap(d):
         """Accept both {target, params:{...}} wrappers and bare dicts."""
         d = d or {}
