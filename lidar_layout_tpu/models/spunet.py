@@ -54,8 +54,22 @@ class SpUNetConfig:
     cls_mode: bool = False
     stem_kernel: int = 5           # conv_input SubMConv3d kernel (:113-121)
     voxel_size: float = 0.05
-    capacity: int = 4096           # finest-level voxel table size
+    # Finest-level voxel table size. Reference-scale clouds at 0.05 m occupy
+    # ~1e4-1e5 unique voxels; ``build_grid`` silently clips overflow, so size
+    # this to the data (check with ``ops.voxel.count_unique``).
+    capacity: int = 32768
     bits: int = 10
+
+    def __post_init__(self):
+        # SpUNetBase asserts the same (spconv_unet_v1m1_base.py:101-102).
+        if len(self.layers) % 2 != 0:
+            raise ValueError(
+                f"len(layers)={len(self.layers)} must be even "
+                "(encoder/decoder halves)")
+        if len(self.layers) != len(self.channels):
+            raise ValueError(
+                f"len(layers)={len(self.layers)} must equal "
+                f"len(channels)={len(self.channels)}")
 
     @property
     def num_stages(self) -> int:

@@ -69,12 +69,36 @@ def build_grid(coords: Array, mask: Array, capacity: int,
 
 def lookup(grid: VoxelGrid, query_coords: Array, bits: int = 10
            ) -> Tuple[Array, Array]:
-    """Find voxel row for each (M, 3) query coord. Returns (idx (M,), hit (M,))."""
+    """Find voxel row for each (M, 3) query coord. Returns (idx (M,), hit (M,)).
+
+    Raw query coords outside ``[0, 2**bits)`` are a guaranteed miss:
+    ``z_order_code`` clips before encoding, so without the in-range predicate a
+    stencil tap at e.g. (-1, 0, 0) would alias onto voxel (0, 0, 0) and
+    submanifold convs would double-count boundary voxels — spconv semantics
+    are that out-of-grid taps contribute zero.
+    """
     q = z_order_code(query_coords, bits)
     idx = jnp.searchsorted(grid.codes, q)
     idx = jnp.clip(idx, 0, grid.codes.shape[0] - 1)
-    hit = (grid.codes[idx] == q) & grid.mask[idx] & (q != PAD_CODE)
+    in_range = ((query_coords >= 0)
+                & (query_coords < (1 << bits))).all(axis=-1)
+    hit = (grid.codes[idx] == q) & grid.mask[idx] & (q != PAD_CODE) & in_range
     return idx, hit
+
+
+def count_unique(coords: Array, mask: Array, bits: int = 10) -> Array:
+    """True number of distinct occupied voxels (scalar int32, UNclipped).
+
+    ``build_grid`` silently merges overflow segments into row ``capacity-1``
+    (with mutually inconsistent code/coords), so callers should assert
+    ``count_unique(...) <= capacity`` when the cloud size is not known to fit.
+    """
+    codes = z_order_code(coords, bits)
+    keyed = jnp.where(mask, codes, PAD_CODE)
+    sc = jnp.sort(keyed)
+    sm = sc != PAD_CODE
+    head = jnp.concatenate([jnp.asarray([True]), sc[1:] != sc[:-1]]) & sm
+    return head.sum()
 
 
 OFFSETS_27 = jnp.asarray(

@@ -45,6 +45,30 @@ class TestVoxelOps:
         np.testing.assert_array_equal(np.asarray(grid.coords)[np.asarray(idx)[0]],
                                       [1, 1, 1])
 
+    def test_lookup_out_of_range_is_miss(self):
+        # z_order_code clips coords to [0, 2^bits), so without an in-range
+        # predicate a query at (-1,0,0) would alias onto voxel (0,0,0) and
+        # submanifold stencils would double-count boundary voxels.
+        coords = jnp.asarray([[0, 0, 0]], jnp.int32)
+        grid, _ = build_grid(coords, jnp.asarray([True]), 4)
+        queries = jnp.asarray(
+            [[-1, 0, 0], [-2, 0, 0], [0, -1, 0], [0, 0, 1 << 10],
+             [0, 0, 0]], jnp.int32)
+        _, hit = lookup(grid, queries)
+        np.testing.assert_array_equal(np.asarray(hit),
+                                      [False, False, False, False, True])
+
+    def test_count_unique_detects_overflow(self):
+        from lidar_layout_tpu.ops.voxel import count_unique
+        coords = jnp.asarray([[i, 0, 0] for i in range(6)] + [[0, 0, 0]],
+                             jnp.int32)
+        mask = jnp.ones(7, bool)
+        n = int(count_unique(coords, mask))
+        assert n == 6
+        # a capacity-4 grid silently clips; count_unique is the loud check
+        grid, _ = build_grid(coords, mask, 4)
+        assert n > 4 and int(np.asarray(grid.mask).sum()) == 4
+
     def test_gather_neighbors_identity_center(self):
         coords = jnp.asarray([[5, 5, 5], [5, 5, 6]], jnp.int32)
         grid, _ = build_grid(coords, jnp.asarray([True, True]), 4)

@@ -87,3 +87,11 @@ def test_gradients_flow():
     leaves = jax.tree_util.tree_leaves(g)
     assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_config_validation():
+    import pytest
+    with pytest.raises(ValueError):
+        SpUNetConfig(channels=(8, 16, 16), layers=(1, 1, 1))  # odd halves
+    with pytest.raises(ValueError):
+        SpUNetConfig(channels=(8, 16, 16, 8), layers=(1, 1))  # len mismatch
