@@ -419,6 +419,20 @@ def _builders():
 
     register("spunet", "SpUNet-v1m1")(build_spunet)
 
+    def build_stratified(params, **kw):
+        """pointcept ST-v1m1 kwargs -> StratifiedTransformer
+        (stratified_transformer_v1m1_origin.py:650-674)."""
+        import dataclasses
+
+        from .models.stratified import (StratifiedConfig,
+                                        StratifiedTransformer)
+        keys = {f.name for f in dataclasses.fields(StratifiedConfig)}
+        return StratifiedTransformer(StratifiedConfig(**{
+            k: (tuple(v) if isinstance(v, list) else v)
+            for k, v in (params or {}).items() if k in keys}))
+
+    register("stratified", "ST-v1m1")(build_stratified)
+
     def _unwrap(d):
         """Accept both {target, params:{...}} wrappers and bare dicts."""
         d = d or {}

@@ -1,0 +1,258 @@
+#!/usr/bin/env python
+"""Stage-A (VQ-GAN AE) diagnostic harness for the north-star recon ceiling.
+
+VERDICT r2 weak #1: the trained LiDM's JSD saturates the AE-reconstruction
+ceiling (0.609 vs a 0.205 held-out floor), so all attainable quality is gated
+by stage A. This script trains ONLY stage A on the north-star synthetic
+distribution and reports a battery that pins the failure mode:
+
+  * jsd / mmd of full recon (VQ path + predicted ray-drop) vs held-out scenes
+  * jsd with the TRUE hit mask substituted      -> isolates mask-head error
+  * jsd with quantization bypassed (continuous) -> isolates codebook error
+  * model-space depth MAE on true-hit pixels    -> pure regression error
+  * mask precision / recall / IoU
+  * codebook perplexity + fraction of codes used
+
+Baselines per CPU simulation (this round): JSD is saturated by tiny iid depth
+noise (sigma 0.005 -> 0.41 at 64v64 where the seed floor is 0.43), while edge
+blur across depth discontinuities pushes ABOVE the floor (0.49-0.52) and does
+not average out with more clouds — the structural failure to hunt is flying
+pixels, not iid blur.
+
+Loss recipe parity: lidm/modules/losses/vqperceptual.py:87-151; the flagship
+reference AE trains with disc_start=1 + the 'until' gate quirk, i.e. GAN
+effectively OFF (configs/autoencoder/kitti/autoencoder_c2_p4.yaml:14).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=4000)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--pool", type=int, default=512)
+    p.add_argument("--n-eval", type=int, default=64)
+    p.add_argument("--chunk", type=int, default=50)
+    p.add_argument("--ch", type=int, default=32)
+    p.add_argument("--n-embed", type=int, default=2048)
+    p.add_argument("--embed-dim", type=int, default=8)
+    p.add_argument("--disc-start", type=int, default=2000)
+    p.add_argument("--disc-weight", type=float, default=0.3)
+    p.add_argument("--geo-factor", type=float, default=1.0)
+    p.add_argument("--mask-factor", type=float, default=1.0)
+    p.add_argument("--curve-length", type=int, default=1)
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--workdir", default="./runs/ae_diag")
+    p.add_argument("--out", default="AE_DIAG.json")
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--tiny", action="store_true")
+    args = p.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lidar_layout_tpu.data.synthetic import synthetic_scene
+    from lidar_layout_tpu.eval.metrics import compute_jsd, compute_mmd
+    from lidar_layout_tpu.losses.discriminator import LiDARNLayerDiscriminator
+    from lidar_layout_tpu.losses.geometric import GeoConverter
+    from lidar_layout_tpu.losses.vq_loss import VQLossConfig
+    from lidar_layout_tpu.models.autoencoder import AEConfig, VQModel
+    from lidar_layout_tpu.ops import lidar as L
+    from lidar_layout_tpu.ops.lidar import KITTI_GEOMETRY, LidarGeometry
+    from lidar_layout_tpu.train.ae_trainer import (create_ae_state,
+                                                   make_ae_optimizers,
+                                                   make_chunked_ae_train_step)
+    from lidar_layout_tpu.train.checkpoint import (latest_step,
+                                                   restore_checkpoint,
+                                                   save_checkpoint)
+
+    os.makedirs(args.workdir, exist_ok=True)
+    report = {"config": {k: getattr(args, k.replace("-", "_"))
+                         for k in ("steps", "batch", "pool", "ch", "n_embed",
+                                   "embed_dim", "disc_start", "geo_factor",
+                                   "mask_factor", "curve_length")}}
+
+    if args.tiny:
+        geom = LidarGeometry(size=(16, 128))
+        n_points = 16384
+        ae_cfg = AEConfig(ch=16, ch_mult=(1, 2, 2, 4),
+                          strides=((1, 2), (2, 2), (2, 2)), z_channels=8,
+                          out_ch=2, num_res_blocks=1)
+    else:
+        geom = KITTI_GEOMETRY
+        n_points = 120000
+        ae_cfg = AEConfig(ch=args.ch, ch_mult=(1, 2, 2, 4),
+                          strides=((1, 2), (2, 2), (2, 2)), z_channels=8,
+                          out_ch=2, num_res_blocks=2)
+    h, w = geom.size
+
+    @jax.jit
+    def project(pts):
+        img, _ = L.pcd2range(pts, geom)
+        return L.process_scan(img, geom)
+
+    print(f"[ae_diag] building {args.pool}-scene pool...", flush=True)
+    pool = np.zeros((args.pool, h, w, 1), np.float32)
+    pool_mask = np.zeros((args.pool, h, w, 1), np.float32)
+    for i in range(args.pool):
+        pts = synthetic_scene(np.random.default_rng(i), n_points)
+        mi, hit = project(jnp.asarray(pts))
+        pool[i, ..., 0] = np.asarray(mi)
+        pool_mask[i, ..., 0] = np.asarray(hit).astype(np.float32)
+
+    def put_sliced(arr, rows=256):
+        return jnp.concatenate([jnp.asarray(arr[i:i + rows])
+                                for i in range(0, len(arr), rows)], axis=0)
+
+    pool_data = {"image": put_sliced(pool), "mask": put_sliced(pool_mask)}
+
+    # held-out scenes (same seeds as northstar_train's eval set)
+    eval_imgs = np.zeros((args.n_eval, h, w, 1), np.float32)
+    eval_hits = np.zeros((args.n_eval, h, w), np.float32)
+    ref_clouds = []
+
+    @jax.jit
+    def reproj_img(img):
+        return L.range2pcd(img, geom)
+
+    for i in range(args.n_eval):
+        pts = synthetic_scene(np.random.default_rng(10_000 + i), n_points)
+        mi, hit = project(jnp.asarray(pts))
+        eval_imgs[i, ..., 0] = np.asarray(mi)
+        eval_hits[i] = np.asarray(hit).astype(np.float32)
+        xyz, valid = reproj_img(mi)
+        ref_clouds.append(np.asarray(xyz)[np.asarray(valid)])
+
+    # ------------------------------- train ------------------------------
+    ae = VQModel(ae_cfg, n_embed=args.n_embed, embed_dim=args.embed_dim,
+                 use_mask=True)
+    loss_cfg = VQLossConfig(mask_factor=args.mask_factor,
+                            geo_factor=args.geo_factor,
+                            curve_length=args.curve_length,
+                            disc_start=args.disc_start,
+                            disc_weight=args.disc_weight)
+    geo = GeoConverter(geom, curve_length=loss_cfg.curve_length)
+    disc = LiDARNLayerDiscriminator()
+    tx_g, tx_d = make_ae_optimizers(args.lr, args.lr)
+    state = create_ae_state(ae, disc, jax.random.key(0), (h, w, 1),
+                            tx_g, tx_d, loss_cfg, geo)
+
+    ckpt_dir = os.path.join(args.workdir, "ckpt_ae")
+    chunk = max(min(args.chunk, args.steps), 1)
+    n_chunks = max(args.steps // chunk, 1)
+
+    def batch_fn(rng, data):
+        idx = jax.random.randint(rng, (args.batch,), 0, args.pool)
+        return {"image": jnp.take(data["image"], idx, axis=0),
+                "mask": jnp.take(data["mask"], idx, axis=0)}
+
+    step_fn = make_chunked_ae_train_step(ae, disc, loss_cfg, geo, tx_g, tx_d,
+                                         batch_fn, chunk)
+    start_c = 0
+    saved = latest_step(ckpt_dir)
+    if saved is not None:
+        state = restore_checkpoint(ckpt_dir, state)
+        start_c = saved // chunk
+        print(f"[ae_diag] resumed at step {saved}", flush=True)
+    t0 = time.perf_counter()
+    for c in range(start_c, n_chunks):
+        state, logs = step_fn(state, jax.random.key(c), pool_data)
+        if c % max(n_chunks // 10, 1) == 0 or c == n_chunks - 1:
+            print(f"  step {(c + 1) * chunk}: nll={float(logs['nll_loss']):.4f}"
+                  f" q={float(logs['quant_loss']):.4f}", flush=True)
+        if (c + 1) % max(n_chunks // 4, 1) == 0 and c != n_chunks - 1:
+            save_checkpoint(ckpt_dir, (c + 1) * chunk, state)
+    save_checkpoint(ckpt_dir, n_chunks * chunk, state)
+    train_secs = time.perf_counter() - t0
+    report["train"] = {"steps": n_chunks * chunk,
+                       "seconds": round(train_secs, 1),
+                       "nll_last": round(float(logs["nll_loss"]), 4)}
+
+    # ---------------------------- diagnostics ---------------------------
+    params = state.params_g
+
+    @jax.jit
+    def recon_batch(x):
+        dec, _, ind = ae.apply(params, x)
+        return dec, ind
+
+    @jax.jit
+    def recon_noquant(x):
+        h_pre = ae.apply(params, x, method=lambda m, xx: m.encode_to_prequant(xx))
+        dec = ae.apply(params, h_pre, method=lambda m, hh: m.decode(hh))
+        return dec
+
+    B = 16
+    full_clouds, truemask_clouds, noq_clouds = [], [], []
+    mae_n = mae_d = 0.0
+    tp = fp = fn = 0.0
+    code_hist = np.zeros(args.n_embed, np.int64)
+    for i in range(0, args.n_eval, B):
+        x = jnp.asarray(eval_imgs[i:i + B])
+        # process_scan's mask is the +1/-1 model-space convention; diagnostics
+        # need {0,1}
+        hit = (eval_hits[i:i + B] > 0).astype(np.float32)
+        dec, ind = jax.tree.map(np.asarray, recon_batch(x))
+        noq = np.asarray(recon_noquant(x))
+        code_hist += np.bincount(ind.reshape(-1), minlength=args.n_embed)
+        pred_depth = dec[..., 0]
+        pred_hit = (dec[..., 1] >= 0.0).astype(np.float32)
+        # depth error on true hits, model space
+        mae_n += float((np.abs(pred_depth - x[..., 0]) * hit).sum())
+        mae_d += float(hit.sum())
+        tp += float((pred_hit * hit).sum())
+        fp += float((pred_hit * (1 - hit)).sum())
+        fn += float(((1 - pred_hit) * hit).sum())
+        for k in range(dec.shape[0]):
+            im_full = np.where(pred_hit[k] > 0, pred_depth[k], -1.0)
+            im_tm = np.where(hit[k] > 0, pred_depth[k], -1.0)
+            im_nq = np.where(noq[k, ..., 1] >= 0, noq[k, ..., 0], -1.0)
+            for im, dst in ((im_full, full_clouds), (im_tm, truemask_clouds),
+                            (im_nq, noq_clouds)):
+                xyz, valid = jax.tree.map(np.asarray,
+                                          reproj_img(jnp.asarray(im)))
+                dst.append(xyz[valid])
+
+    probs = code_hist / max(code_hist.sum(), 1)
+    nz = probs[probs > 0]
+    report["diag"] = {
+        "jsd_recon": round(compute_jsd(ref_clouds, full_clouds), 4),
+        "jsd_recon_truemask": round(compute_jsd(ref_clouds, truemask_clouds), 4),
+        "jsd_recon_noquant": round(compute_jsd(ref_clouds, noq_clouds), 4),
+        "mmd_recon": float(compute_mmd(ref_clouds, full_clouds)),
+        "depth_mae_hits": round(mae_n / max(mae_d, 1.0), 5),
+        "mask_precision": round(tp / max(tp + fp, 1.0), 4),
+        "mask_recall": round(tp / max(tp + fn, 1.0), 4),
+        "mask_iou": round(tp / max(tp + fp + fn, 1.0), 4),
+        "codebook_perplexity": round(float(np.exp(-(nz * np.log(nz)).sum())), 1),
+        "codebook_used_frac": round(float((code_hist > 0).mean()), 4),
+    }
+    # context rows: the floor for this n_eval (disjoint seeds)
+    floor_clouds = []
+    for i in range(args.n_eval):
+        pts = synthetic_scene(np.random.default_rng(20_000 + i), n_points)
+        mi, _ = project(jnp.asarray(pts))
+        xyz, valid = reproj_img(mi)
+        floor_clouds.append(np.asarray(xyz)[np.asarray(valid)])
+    report["diag"]["jsd_floor_disjoint"] = round(
+        compute_jsd(ref_clouds, floor_clouds), 4)
+
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2), flush=True)
+
+
+if __name__ == "__main__":
+    main()

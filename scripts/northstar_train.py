@@ -388,6 +388,8 @@ def main():
     # comparisons below are meaningful, not the reference's absolute tables.
     from lidar_layout_tpu.eval.registry import build_feature_fn
     ffn = {"frid": build_feature_fn("64", "range")}
+    # pin the extractor so cross-round FRID deltas are comparable (r2 weak #6)
+    report["frid_feature_hash"] = ffn["frid"].param_hash
 
     data_type = "64" if not args.tiny else "64"
     mset = ["jsd", "mmd", "frid"]
