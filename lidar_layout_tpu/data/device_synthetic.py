@@ -1,0 +1,111 @@
+"""On-device synthetic scene generation — zero relay traffic.
+
+The numpy generator in :mod:`.synthetic` costs ~9 ms/scene on host but the
+raw clouds are ~1.4 MB each; through this session's ~300 KB/s axon relay a
+512-scene pool upload alone is ~40 minutes. This module re-expresses the SAME
+generative family (ground annulus + axis-aligned boxes + poles,
+``synthetic.synthetic_scene``) in jax so pools and eval references are
+generated *and projected* on device inside one jit program — only compact
+range images (or nothing at all) ever cross the relay.
+
+Differences vs the numpy generator (documented, deliberate):
+  * jax PRNG stream, so scenes are not bit-identical to numpy seeds — every
+    consumer of a given round draws train/eval splits from this one family,
+    which is all the north-star protocol needs;
+  * the box count is drawn in [6, 14) as before, but realized as 14 fixed
+    slots whose invalid slots are re-painted as extra ground points (static
+    shapes for jit).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import lidar as L
+from ..ops.lidar import KITTI_GEOMETRY, LidarGeometry
+
+Array = jax.Array
+
+MAX_BOXES = 14
+
+
+def synthetic_scene_device(key: Array, n_points: int = 120000) -> Array:
+    """(N, 3) float32 synthetic street scene, all on device."""
+    kg, kb, kp, kn = jax.random.split(key, 4)
+
+    n_ground = int(n_points * 0.6)
+    per_box = int(n_points * 0.3) // MAX_BOXES
+    n_pole = n_points - n_ground - per_box * MAX_BOXES
+
+    kr, kt, kz = jax.random.split(kg, 3)
+    r = jnp.sqrt(jax.random.uniform(kr, (n_ground,), minval=4.0,
+                                    maxval=2500.0))
+    th = jax.random.uniform(kt, (n_ground,), minval=-jnp.pi, maxval=jnp.pi)
+    ground = jnp.stack([r * jnp.cos(th), r * jnp.sin(th),
+                        -1.9 + 0.05 * jax.random.normal(kz, (n_ground,))],
+                       axis=-1)
+
+    kc, ks, ku, kv = jax.random.split(kb, 4)
+    n_box = jax.random.randint(kv, (), 6, 14)
+    centers = jax.random.uniform(kc, (MAX_BOXES, 2), minval=-40.0,
+                                 maxval=40.0)
+    dims = jax.random.uniform(ks, (MAX_BOXES, 3))
+    lwh = jnp.stack([1.5 + dims[:, 0] * 6.5, 1.5 + dims[:, 1] * 1.5,
+                     1.0 + dims[:, 2] * 2.0], axis=-1)
+    u = jax.random.uniform(ku, (MAX_BOXES, per_box, 3))
+    box_pts = jnp.concatenate([
+        (u[..., :2] - 0.5) * lwh[:, None, :2] + centers[:, None, :],
+        (-2.0 + u[..., 2:] * lwh[:, None, 2:3])], axis=-1)
+    # invalid slots -> extra ground-distributed points (static shapes)
+    kgr, kgt = jax.random.split(kn)
+    r2 = jnp.sqrt(jax.random.uniform(kgr, (MAX_BOXES, per_box),
+                                     minval=4.0, maxval=2500.0))
+    t2 = jax.random.uniform(kgt, (MAX_BOXES, per_box), minval=-jnp.pi,
+                            maxval=jnp.pi)
+    ground_fill = jnp.stack([r2 * jnp.cos(t2), r2 * jnp.sin(t2),
+                             jnp.full_like(r2, -1.88)], axis=-1)
+    slot_ok = (jnp.arange(MAX_BOXES) < n_box)[:, None, None]
+    boxes = jnp.where(slot_ok, box_pts, ground_fill).reshape(-1, 3)
+
+    kx, kz2 = jax.random.split(kp)
+    pxy = jax.random.uniform(kx, (n_pole, 2), minval=-30.0, maxval=30.0)
+    pz = jax.random.uniform(kz2, (n_pole, 1), minval=-2.0, maxval=4.0)
+    poles = jnp.concatenate([pxy, pz], axis=-1)
+
+    return jnp.concatenate([ground, boxes, poles]).astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("batch", "n_points", "geom"))
+def scene_image_batch(key: Array, batch: int, n_points: int = 120000,
+                      geom: LidarGeometry = KITTI_GEOMETRY
+                      ) -> Tuple[Array, Array]:
+    """(B, H, W) model-space images + (B, H, W) {+1,-1} ray-drop masks,
+    generated and projected entirely on device."""
+    keys = jax.random.split(key, batch)
+
+    def one(k):
+        pts = synthetic_scene_device(k, n_points)
+        img, _ = L.pcd2range(pts, geom)
+        return L.process_scan(img, geom)
+
+    return jax.lax.map(one, keys)
+
+
+def host_range2pcd(img, geom: LidarGeometry = KITTI_GEOMETRY):
+    """Numpy twin of ops.lidar.range2pcd (model-space input) for cheap
+    host-side reprojection of downloaded range images — metrics need ragged
+    valid-point clouds, which would otherwise cost a (H*W, 3) f32 readback
+    per cloud through the relay."""
+    import numpy as np
+
+    img = np.asarray(img, np.float32)
+    dirs = np.asarray(geom.ray_dirs(), np.float32)
+    depth = (img * 0.5 + 0.5) * geom.depth_scale
+    if geom.log_scale:
+        depth = np.exp2(depth) - 1.0
+    valid = (depth > geom.depth_range[0]) & (depth < geom.depth_range[1])
+    xyz = dirs * depth[..., None]
+    return xyz.reshape(-1, 3)[valid.reshape(-1)]

@@ -151,6 +151,44 @@ class ReconTester(TesterBase):
 
 
 @register_tester
+class DINOSemSegTester(SemSegTester):
+    """Fragment-accumulating semantic segmentation with DINO-feature side
+    inputs (engines/test.py:355-599).
+
+    Each batch is ONE scene: ``{"fragment_list": [frag, ...], "segment": (N,)
+    labels, "dino_coord"/"dino_feat" (optional side inputs)}``. Every fragment
+    dict carries an ``"index"`` (n_frag,) mapping back into the scene's N
+    points; ``apply_fn(fragment)`` returns (n_frag, num_classes) logits whose
+    softmax is scatter-added into a scene-level accumulator before the argmax
+    (:421-445) — the dino_* side inputs are attached to each fragment exactly
+    as the reference re-injects them per fragment (:431-434). Meters are the
+    SemSegTester intersection/union family (:474-520).
+    """
+
+    DINO_KEYS = ("dino_coord", "dino_feat", "dino_offset")
+
+    def test(self, batches: Iterable[Dict[str, Any]]) -> Dict[str, float]:
+        for i, scene in enumerate(batches):
+            segment = np.asarray(scene["segment"]).reshape(-1)
+            pred = np.zeros((segment.size, self.num_classes), np.float32)
+            side = {k: scene[k] for k in self.DINO_KEYS if k in scene}
+            for frag in scene["fragment_list"]:
+                logits = np.asarray(self.apply_fn({**frag, **side}))
+                logits = logits.reshape(-1, self.num_classes)
+                x = logits - logits.max(-1, keepdims=True)
+                prob = np.exp(x) / np.exp(x).sum(-1, keepdims=True)
+                idx = np.asarray(frag["index"]).reshape(-1)
+                if "mask" in frag:
+                    keep = np.asarray(frag["mask"]).reshape(-1).astype(bool)
+                    idx, prob = idx[keep], prob[keep]
+                np.add.at(pred, idx, prob)
+            self.update(pred, {"label": segment})
+            if self.verbose:
+                print(f"[tester] scene {i}: {self.summary()}", flush=True)
+        return self.summary()
+
+
+@register_tester
 class ClsVotingTester(TesterBase):
     """Vote-augmented classification (engines/test.py:677-793): each batch is
     one sample's stack of augmented views; predictions are softmax-summed over

@@ -63,7 +63,6 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from lidar_layout_tpu.data.synthetic import synthetic_scene
     from lidar_layout_tpu.eval.metrics import compute_jsd, compute_mmd
     from lidar_layout_tpu.losses.discriminator import LiDARNLayerDiscriminator
     from lidar_layout_tpu.losses.geometric import GeoConverter
@@ -98,42 +97,39 @@ def main():
                           out_ch=2, num_res_blocks=2)
     h, w = geom.size
 
-    @jax.jit
-    def project(pts):
-        img, _ = L.pcd2range(pts, geom)
-        return L.process_scan(img, geom)
+    from lidar_layout_tpu.data.device_synthetic import (host_range2pcd,
+                                                        scene_image_batch)
 
-    print(f"[ae_diag] building {args.pool}-scene pool...", flush=True)
-    pool = np.zeros((args.pool, h, w, 1), np.float32)
-    pool_mask = np.zeros((args.pool, h, w, 1), np.float32)
-    for i in range(args.pool):
-        pts = synthetic_scene(np.random.default_rng(i), n_points)
-        mi, hit = project(jnp.asarray(pts))
-        pool[i, ..., 0] = np.asarray(mi)
-        pool_mask[i, ..., 0] = np.asarray(hit).astype(np.float32)
+    # scenes are generated AND projected on device: the raw 1.4 MB clouds of
+    # the numpy generator never cross the ~300 KB/s relay (a 512-scene pool
+    # upload alone was ~40 min the old way)
+    print(f"[ae_diag] building {args.pool}-scene pool on device...",
+          flush=True)
+    gen_b = 64
+    t0 = time.perf_counter()
+    chunks = []
+    for i in range(0, args.pool, gen_b):
+        im, mk = scene_image_batch(jax.random.key(1_000_000 + i), gen_b,
+                                   n_points, geom)
+        chunks.append((im[..., None], mk[..., None]))
+    pool_data = {"image": jnp.concatenate([c[0] for c in chunks])[:args.pool],
+                 "mask": jnp.concatenate([c[1] for c in chunks])[:args.pool]}
+    jax.block_until_ready(pool_data)
+    print(f"  pool built in {time.perf_counter() - t0:.1f}s", flush=True)
 
-    def put_sliced(arr, rows=256):
-        return jnp.concatenate([jnp.asarray(arr[i:i + rows])
-                                for i in range(0, len(arr), rows)], axis=0)
-
-    pool_data = {"image": put_sliced(pool), "mask": put_sliced(pool_mask)}
-
-    # held-out scenes (same seeds as northstar_train's eval set)
-    eval_imgs = np.zeros((args.n_eval, h, w, 1), np.float32)
-    eval_hits = np.zeros((args.n_eval, h, w), np.float32)
-    ref_clouds = []
-
-    @jax.jit
-    def reproj_img(img):
-        return L.range2pcd(img, geom)
-
-    for i in range(args.n_eval):
-        pts = synthetic_scene(np.random.default_rng(10_000 + i), n_points)
-        mi, hit = project(jnp.asarray(pts))
-        eval_imgs[i, ..., 0] = np.asarray(mi)
-        eval_hits[i] = np.asarray(hit).astype(np.float32)
-        xyz, valid = reproj_img(mi)
-        ref_clouds.append(np.asarray(xyz)[np.asarray(valid)])
+    # held-out eval scenes: download compact f16 images once, reproject on host
+    ev = []
+    for i in range(0, args.n_eval, gen_b):
+        im, mk = scene_image_batch(jax.random.key(9_000_000 + i), gen_b,
+                                   n_points, geom)
+        ev.append((np.asarray(im.astype(jnp.float16)),
+                   np.asarray(mk, np.int8)))
+    eval_imgs = np.concatenate([e[0] for e in ev]).astype(np.float32)[
+        :args.n_eval][..., None]
+    eval_hits = np.concatenate([e[1] for e in ev]).astype(np.float32)[
+        :args.n_eval]
+    ref_clouds = [host_range2pcd(eval_imgs[i, ..., 0], geom)
+                  for i in range(args.n_eval)]
 
     # ------------------------------- train ------------------------------
     ae = VQModel(ae_cfg, n_embed=args.n_embed, embed_dim=args.embed_dim,
@@ -186,13 +182,13 @@ def main():
     @jax.jit
     def recon_batch(x):
         dec, _, ind = ae.apply(params, x)
-        return dec, ind
+        return dec.astype(jnp.float16), ind
 
     @jax.jit
     def recon_noquant(x):
         h_pre = ae.apply(params, x, method=lambda m, xx: m.encode_to_prequant(xx))
         dec = ae.apply(params, h_pre, method=lambda m, hh: m.decode(hh))
-        return dec
+        return dec.astype(jnp.float16)
 
     B = 16
     full_clouds, truemask_clouds, noq_clouds = [], [], []
@@ -205,7 +201,8 @@ def main():
         # need {0,1}
         hit = (eval_hits[i:i + B] > 0).astype(np.float32)
         dec, ind = jax.tree.map(np.asarray, recon_batch(x))
-        noq = np.asarray(recon_noquant(x))
+        dec = dec.astype(np.float32)
+        noq = np.asarray(recon_noquant(x)).astype(np.float32)
         code_hist += np.bincount(ind.reshape(-1), minlength=args.n_embed)
         pred_depth = dec[..., 0]
         pred_hit = (dec[..., 1] >= 0.0).astype(np.float32)
@@ -221,9 +218,7 @@ def main():
             im_nq = np.where(noq[k, ..., 1] >= 0, noq[k, ..., 0], -1.0)
             for im, dst in ((im_full, full_clouds), (im_tm, truemask_clouds),
                             (im_nq, noq_clouds)):
-                xyz, valid = jax.tree.map(np.asarray,
-                                          reproj_img(jnp.asarray(im)))
-                dst.append(xyz[valid])
+                dst.append(host_range2pcd(im, geom))
 
     probs = code_hist / max(code_hist.sum(), 1)
     nz = probs[probs > 0]
@@ -241,13 +236,13 @@ def main():
     }
     # context rows: the floor for this n_eval (disjoint seeds)
     floor_clouds = []
-    for i in range(args.n_eval):
-        pts = synthetic_scene(np.random.default_rng(20_000 + i), n_points)
-        mi, _ = project(jnp.asarray(pts))
-        xyz, valid = reproj_img(mi)
-        floor_clouds.append(np.asarray(xyz)[np.asarray(valid)])
+    for i in range(0, args.n_eval, gen_b):
+        im, _ = scene_image_batch(jax.random.key(5_000_000 + i), gen_b,
+                                  n_points, geom)
+        im = np.asarray(im.astype(jnp.float16)).astype(np.float32)
+        floor_clouds += [host_range2pcd(im[k], geom) for k in range(gen_b)]
     report["diag"]["jsd_floor_disjoint"] = round(
-        compute_jsd(ref_clouds, floor_clouds), 4)
+        compute_jsd(ref_clouds, floor_clouds[:args.n_eval]), 4)
 
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)

@@ -21,8 +21,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("-b", "--base", required=True, help="model YAML config")
     p.add_argument("--tester", default="ReconTester",
-                   help="SemSegTester | ClsTester | ClsVotingTester | "
-                        "PartSegTester | ReconTester")
+                   help="SemSegTester | DINOSemSegTester | ClsTester | "
+                        "ClsVotingTester | PartSegTester | ReconTester")
     p.add_argument("-d", "--data-root", default=None)
     p.add_argument("-r", "--resume", default=None, help="run dir with ckpt/")
     p.add_argument("--n-batches", type=int, default=8)

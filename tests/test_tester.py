@@ -114,3 +114,30 @@ class TestPartSeg:
                           category2part=c2p)
         out = t.test([{"label": label, "category": 0}])
         assert abs(out["ins_mIoU"] - 1.0) < 1e-8
+
+
+class TestDINOSemSeg:
+    def test_fragment_accumulation(self):
+        # engines/test.py:421-445 — fragments' softmax probs scatter-add into
+        # a scene accumulator by their index maps before the argmax.
+        from lidar_layout_tpu.train.tester import DINOSemSegTester
+        segment = np.asarray([0, 1, 1, 0])
+        # two overlapping fragments; point 2 is misclassified by frag A but
+        # fixed by two confident votes from frag B
+        frag_a = {"index": np.asarray([0, 1, 2]),
+                  "logits": np.asarray([[9., 0.], [0., 9.], [5., 4.]])}
+        frag_b = {"index": np.asarray([2, 2, 3]),
+                  "logits": np.asarray([[0., 9.], [0., 9.], [9., 0.]])}
+
+        def apply_fn(frag):
+            assert frag["dino_feat"] == "sentinel"  # side inputs forwarded
+            return frag["logits"]
+
+        t = DINOSemSegTester(apply_fn, num_classes=2)
+        out = t.test([{"fragment_list": [frag_a, frag_b], "segment": segment,
+                       "dino_feat": "sentinel"}])
+        assert out["allAcc"] == 1.0 and out["mIoU"] == 1.0
+
+    def test_registered(self):
+        from lidar_layout_tpu.train.tester import TESTERS
+        assert "DINOSemSegTester" in TESTERS
