@@ -171,6 +171,7 @@ class VQModel(nn.Module):
     n_embed: int = 16384
     embed_dim: int = 8
     use_mask: bool = False
+    vq_init: str = "taming"       # see nn/quantize.py: "normal" for scratch
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -179,7 +180,8 @@ class VQModel(nn.Module):
                 "use_mask requires out_ch == in_channels + 1"
         self.encoder = Encoder(self.cfg, dtype=self.dtype)
         self.decoder = Decoder(self.cfg, dtype=self.dtype)
-        self.quantize = VectorQuantizer(self.n_embed, self.embed_dim)
+        self.quantize = VectorQuantizer(self.n_embed, self.embed_dim,
+                                        init=self.vq_init)
         self.quant_conv = Conv1x1(self.embed_dim, dtype=self.dtype)
         self.post_quant_conv = Conv1x1(self.cfg.z_channels, dtype=self.dtype)
 

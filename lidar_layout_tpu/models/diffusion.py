@@ -66,6 +66,7 @@ class LatentDiffusion:
     def __init__(self, cfg: DiffusionConfig, unet_cfg: Optional[UNetConfig],
                  first_stage_cfg: Optional[AEConfig] = None,
                  n_embed: int = 16384, embed_dim: int = 8, use_mask: bool = True,
+                 vq_init: str = "taming",
                  cond_stage: Optional[nn.Module] = None,
                  unet: Optional[nn.Module] = None,
                  dtype=jnp.float32):
@@ -81,7 +82,7 @@ class LatentDiffusion:
         self.unet = unet if unet is not None else UNetModel(unet_cfg, dtype=dtype)
         self.first_stage = (VQModelInterface(first_stage_cfg, n_embed=n_embed,
                                              embed_dim=embed_dim, use_mask=use_mask,
-                                             dtype=dtype)
+                                             vq_init=vq_init, dtype=dtype)
                             if first_stage_cfg is not None else None)
         self.cond_stage = cond_stage
 

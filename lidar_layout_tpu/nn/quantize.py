@@ -28,15 +28,23 @@ class VectorQuantizer(nn.Module):
     n_embed: int
     embed_dim: int
     beta: float = 0.25
+    # "taming": uniform(-1/n, 1/n) — parity with the reference's Embedding
+    # init (converted checkpoints overwrite it anyway). "normal": N(0, 1) —
+    # for from-scratch training: the taming ball (±1/n) is ~1e-4 wide while
+    # encoder latents reach std ~4, so nearly all codes start equidistant-at-
+    # the-origin and collapse (r03 diag: perplexity 30 of 2048).
+    init: str = "taming"
 
     @nn.compact
     def __call__(self, z: Array) -> Tuple[Array, Array, Array]:
-        codebook = self.param(
-            "embedding",
-            # taming initializes Embedding uniform(-1/n, 1/n)
-            lambda key, shape: jax.random.uniform(
-                key, shape, minval=-1.0 / self.n_embed, maxval=1.0 / self.n_embed),
-            (self.n_embed, self.embed_dim))
+        if self.init == "taming":
+            cb_init = lambda key, shape: jax.random.uniform(
+                key, shape, minval=-1.0 / self.n_embed,
+                maxval=1.0 / self.n_embed)
+        else:
+            cb_init = nn.initializers.normal(1.0)
+        codebook = self.param("embedding", cb_init,
+                              (self.n_embed, self.embed_dim))
 
         flat = z.reshape(-1, self.embed_dim).astype(jnp.float32)
         cb = codebook.astype(jnp.float32)

@@ -50,6 +50,12 @@ def main():
     p.add_argument("--mask-factor", type=float, default=1.0)
     p.add_argument("--curve-length", type=int, default=1)
     p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--no-mask", action="store_true",
+                   help="reference flagship recipe: no ray-drop head, pure "
+                        "pixel L1 (+smooth/normal), mask_factor=0 "
+                        "(autoencoder_c2_p4.yaml use_mask: False)")
+    p.add_argument("--vq-init", default="taming",
+                   help="taming | normal (see nn/quantize.py)")
     p.add_argument("--workdir", default="./runs/ae_diag")
     p.add_argument("--out", default="AE_DIAG.json")
     p.add_argument("--cpu", action="store_true")
@@ -81,20 +87,21 @@ def main():
     report = {"config": {k: getattr(args, k.replace("-", "_"))
                          for k in ("steps", "batch", "pool", "ch", "n_embed",
                                    "embed_dim", "disc_start", "geo_factor",
-                                   "mask_factor", "curve_length")}}
+                                   "mask_factor", "curve_length", "no_mask",
+                                   "vq_init")}}
 
     if args.tiny:
         geom = LidarGeometry(size=(16, 128))
         n_points = 16384
         ae_cfg = AEConfig(ch=16, ch_mult=(1, 2, 2, 4),
                           strides=((1, 2), (2, 2), (2, 2)), z_channels=8,
-                          out_ch=2, num_res_blocks=1)
+                          out_ch=1 if args.no_mask else 2, num_res_blocks=1)
     else:
         geom = KITTI_GEOMETRY
         n_points = 120000
         ae_cfg = AEConfig(ch=args.ch, ch_mult=(1, 2, 2, 4),
                           strides=((1, 2), (2, 2), (2, 2)), z_channels=8,
-                          out_ch=2, num_res_blocks=2)
+                          out_ch=1 if args.no_mask else 2, num_res_blocks=2)
     h, w = geom.size
 
     from lidar_layout_tpu.data.device_synthetic import (host_range2pcd,
@@ -133,8 +140,9 @@ def main():
 
     # ------------------------------- train ------------------------------
     ae = VQModel(ae_cfg, n_embed=args.n_embed, embed_dim=args.embed_dim,
-                 use_mask=True)
-    loss_cfg = VQLossConfig(mask_factor=args.mask_factor,
+                 use_mask=not args.no_mask, vq_init=args.vq_init)
+    loss_cfg = VQLossConfig(mask_factor=0.0 if args.no_mask
+                            else args.mask_factor,
                             geo_factor=args.geo_factor,
                             curve_length=args.curve_length,
                             disc_start=args.disc_start,
@@ -205,7 +213,11 @@ def main():
         noq = np.asarray(recon_noquant(x)).astype(np.float32)
         code_hist += np.bincount(ind.reshape(-1), minlength=args.n_embed)
         pred_depth = dec[..., 0]
-        pred_hit = (dec[..., 1] >= 0.0).astype(np.float32)
+        if args.no_mask:
+            # implicit ray-drop: depth below the in-range threshold
+            pred_hit = (pred_depth >= geom.depth_thresh).astype(np.float32)
+        else:
+            pred_hit = (dec[..., 1] >= 0.0).astype(np.float32)
         # depth error on true hits, model space
         mae_n += float((np.abs(pred_depth - x[..., 0]) * hit).sum())
         mae_d += float(hit.sum())
@@ -215,7 +227,10 @@ def main():
         for k in range(dec.shape[0]):
             im_full = np.where(pred_hit[k] > 0, pred_depth[k], -1.0)
             im_tm = np.where(hit[k] > 0, pred_depth[k], -1.0)
-            im_nq = np.where(noq[k, ..., 1] >= 0, noq[k, ..., 0], -1.0)
+            if args.no_mask:
+                im_nq = noq[k, ..., 0]
+            else:
+                im_nq = np.where(noq[k, ..., 1] >= 0, noq[k, ..., 0], -1.0)
             for im, dst in ((im_full, full_clouds), (im_tm, truemask_clouds),
                             (im_nq, noq_clouds)):
                 dst.append(host_range2pcd(im, geom))

@@ -4,7 +4,7 @@
 Trains the two-stage LiDM end to end on a fixed synthetic training
 distribution, then shows trained-weight samples beat (a) a random-weights
 model and (b) pure noise on JSD/MMD against held-out scenes from the same
-distribution. Writes NORTHSTAR_r02.json.
+distribution. Writes NORTHSTAR_r03.json.
 
 Stage A: VQ-GAN range AE (use_mask) on 64x1024 synthetic KITTI-geometry scans.
 Stage B: latent DDPM (U-Net) over the frozen stage-A latents, with EMA.
@@ -39,8 +39,8 @@ def main():
     p.add_argument("--sample-steps", type=int, default=50)
     p.add_argument("--chunk", type=int, default=50,
                    help="optimizer steps fused per dispatch (lax.scan)")
-    p.add_argument("--workdir", default="./runs/northstar_r02")
-    p.add_argument("--out", default="NORTHSTAR_r02.json")
+    p.add_argument("--workdir", default="./runs/northstar_r03")
+    p.add_argument("--out", default="NORTHSTAR_r03.json")
     p.add_argument("--lidm-lr", type=float, default=2e-4)
     p.add_argument("--cosine", action="store_true",
                    help="1k-step warmup + cosine decay to 10% for stage B")
@@ -76,7 +76,6 @@ def main():
     from lidar_layout_tpu.models.unet import UNetConfig
     from lidar_layout_tpu.ops.lidar import KITTI_GEOMETRY, LidarGeometry
     from lidar_layout_tpu.ops import lidar as L
-    from lidar_layout_tpu.data.synthetic import synthetic_scene
     from lidar_layout_tpu.eval.metrics import evaluate
     from lidar_layout_tpu.train.ae_trainer import (create_ae_state,
                                                    make_ae_optimizers)
@@ -115,53 +114,41 @@ def main():
     h, w = geom.size
 
     # ---- fixed training distribution: pool of projected synthetic scenes ----
-    print(f"[northstar] building {args.pool}-scene training pool...",
+    # Scenes are generated AND projected on device (data/device_synthetic):
+    # this round's relay moves ~300 KB/s, so the old host-numpy path (512 x
+    # 1.4 MB raw clouds up, 384 x 0.8 MB eval clouds down) cost tens of
+    # minutes of pure transfer — and r02's eval stage 5.5 h. Only compact f16
+    # range images are ever downloaded; clouds are host-reprojected.
+    from lidar_layout_tpu.data.device_synthetic import (host_range2pcd,
+                                                        scene_image_batch)
+
+    print(f"[northstar] building {args.pool}-scene training pool on device...",
           flush=True)
+    gen_b = 64
+    chunks = []
+    for i in range(0, args.pool, gen_b):
+        im, mk = scene_image_batch(jax.random.key(1_000_000 + i), gen_b,
+                                   n_points, geom)
+        chunks.append((im[..., None], mk[..., None]))
+    pool_data = {"image": jnp.concatenate([c[0] for c in chunks])[:args.pool],
+                 "mask": jnp.concatenate([c[1] for c in chunks])[:args.pool]}
+    jax.block_until_ready(pool_data)
+    pool = np.asarray(pool_data["image"][:16].astype(jnp.float16)
+                      ).astype(np.float32)  # small host slice (scale probes)
 
-    @jax.jit
-    def project(pts):
-        img, _ = L.pcd2range(pts, geom)
-        model_img, mask = L.process_scan(img, geom)
-        return model_img, mask
-
-    pool = np.zeros((args.pool, h, w, 1), np.float32)
-    pool_mask = np.zeros((args.pool, h, w, 1), np.float32)
-    for i in range(args.pool):
-        pts = synthetic_scene(np.random.default_rng(i), n_points)
-        model_img, hit = project(jnp.asarray(pts))
-        pool[i, ..., 0] = np.asarray(model_img)
-        pool_mask[i, ..., 0] = np.asarray(hit).astype(np.float32)
     # Held-out references are REPROJECTED clouds (range roundtrip), matching
     # the reference's eval convention: sample.py:298-300 collates
     # example['reproj'] = range2pcd(pcd2range(scan)) (kitti.py:75-77), never
     # the raw scan. Raw-vs-reproj is apples-to-oranges (~+0.13 JSD, ~2x MMD:
     # the 64x1024 projection drops ~82% of a 120k-point scene).
-    @jax.jit
-    def reproject(pts):
-        img, _ = L.pcd2range(pts, geom)
-        model_img, _ = L.process_scan(img, geom)
-        return L.range2pcd(model_img, geom)
-
-    ref_raw, ref_clouds = [], []
-    for i in range(args.n_eval):
-        pts = synthetic_scene(np.random.default_rng(10_000 + i), n_points)
-        ref_raw.append(pts)
-        xyz, valid = jax.tree.map(np.asarray, reproject(jnp.asarray(pts)))
-        ref_clouds.append(xyz[valid])
-
-    # device-resident pool: per step only a handful of int32 indices cross the
-    # relay. (Host->device batches every step pinned unbounded client memory —
-    # the r2 first attempt leaked to 62 GB RSS and crawled.) The pool flows
-    # through chunk_steps' ``data`` jit argument, NOT a closure — closed-over
-    # arrays become HLO literal constants and a 2048-scene pool (2x537 MB)
-    # overflows the remote-compile upload (HTTP 413).
-    def put_sliced(arr, rows=256):
-        # bounded per-request upload through the relay (one 537 MB put could
-        # hit the same HTTP body limit the oversized compile payload did)
-        return jnp.concatenate([jnp.asarray(arr[i:i + rows])
-                                for i in range(0, len(arr), rows)], axis=0)
-
-    pool_data = {"image": put_sliced(pool), "mask": put_sliced(pool_mask)}
+    ref_imgs, ref_clouds = [], []
+    for i in range(0, args.n_eval, gen_b):
+        im, _ = scene_image_batch(jax.random.key(9_000_000 + i), gen_b,
+                                  n_points, geom)
+        ref_imgs.append(np.asarray(im.astype(jnp.float16)))
+    ref_imgs = np.concatenate(ref_imgs).astype(np.float32)[:args.n_eval]
+    ref_clouds = [host_range2pcd(ref_imgs[i], geom)
+                  for i in range(args.n_eval)]
 
     def make_batch_fn(bs):
         # device-side batch builder for the scan-chunked drivers: the whole
@@ -320,17 +307,14 @@ def main():
             z = ddim_sample(model, ps, key, (batch, lh, lw, lc),
                             steps=args.sample_steps)
             imgs = model.decode_first_stage(ps, z)
-            xyz, valid = jax.vmap(lambda im: L.range2pcd(im, geom))(
-                imgs[..., 0])
-            return xyz, valid
+            return imgs[..., 0].astype(jnp.float16)  # compact relay download
 
         clouds = []
         for i in range((args.n_eval + batch - 1) // batch):
-            xyz, valid = jax.tree.map(
-                np.asarray, sample_batch(sample_params,
-                                         jax.random.key(seed + i)))
-            for pc, v in zip(xyz, valid):
-                clouds.append(pc[v])
+            imgs = np.asarray(sample_batch(sample_params,
+                                           jax.random.key(seed + i))
+                              ).astype(np.float32)
+            clouds += [host_range2pcd(im, geom) for im in imgs]
         return clouds[: args.n_eval]
 
     trained = ema_params(model, dstate)
@@ -349,17 +333,13 @@ def main():
     def ae_recon_batch(ps, imgs):
         z = model.encode_first_stage(ps, imgs)
         rec = model.decode_first_stage(ps, z)
-        xyz, valid = jax.vmap(lambda im: L.range2pcd(im, geom))(rec[..., 0])
-        return xyz, valid
+        return rec[..., 0].astype(jnp.float16)
 
     recon_clouds = []
     for i in range(0, args.n_eval, batch):
-        imgs = np.stack([np.asarray(project(jnp.asarray(p))[0])[..., None]
-                         for p in ref_raw[i:i + batch]])
-        xyz, valid = jax.tree.map(
-            np.asarray, ae_recon_batch(trained, jnp.asarray(imgs)))
-        for pc, v in zip(xyz, valid):
-            recon_clouds.append(pc[v])
+        imgs = jnp.asarray(ref_imgs[i:i + batch, ..., None])
+        rec = np.asarray(ae_recon_batch(trained, imgs)).astype(np.float32)
+        recon_clouds += [host_range2pcd(im, geom) for im in rec]
     recon_clouds = recon_clouds[: args.n_eval]
 
     # pure-noise baseline: uniform points in the scene volume

@@ -30,3 +30,15 @@ def devices():
 @pytest.fixture()
 def rng():
     return np.random.default_rng(0)
+
+
+def pytest_addoption(parser):
+    parser.addoption("--runslow", action="store_true", default=False,
+                     help="include tests marked slow (overrides the default "
+                          "-m 'not slow' filter)")
+
+
+def pytest_configure(config):
+    # --runslow neutralizes the default marker filter from pytest.ini
+    if config.getoption("--runslow") and config.option.markexpr == "not slow":
+        config.option.markexpr = ""
