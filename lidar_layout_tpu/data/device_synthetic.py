@@ -14,7 +14,14 @@ Differences vs the numpy generator (documented, deliberate):
     which is all the north-star protocol needs;
   * the box count is drawn in [6, 14) as before, but realized as 14 fixed
     slots whose invalid slots are re-painted as extra ground points (static
-    shapes for jit).
+    shapes for jit);
+  * scenes are SURFACES, like real LiDAR returns (r03 fix): boxes sample
+    their visible faces instead of their volume, and "poles" are coherent
+    vertical cylinders instead of the old iid-uniform point soup. The old
+    soup made ~10%% of every scan incompressible salt noise — per AE_DIAG_*
+    no autoencoder recipe could push recon JSD below ~0.5 against a 0.42
+    floor because the range image itself was 10%% white noise; real KITTI
+    scans (what the reference's near-lossless AE sees) are piecewise-smooth.
 """
 from __future__ import annotations
 
@@ -48,17 +55,33 @@ def synthetic_scene_device(key: Array, n_points: int = 120000) -> Array:
                         -1.9 + 0.05 * jax.random.normal(kz, (n_ground,))],
                        axis=-1)
 
-    kc, ks, ku, kv = jax.random.split(kb, 4)
+    kc, ks, ku, kv, kf = jax.random.split(kb, 5)
     n_box = jax.random.randint(kv, (), 6, 14)
     centers = jax.random.uniform(kc, (MAX_BOXES, 2), minval=-40.0,
                                  maxval=40.0)
     dims = jax.random.uniform(ks, (MAX_BOXES, 3))
     lwh = jnp.stack([1.5 + dims[:, 0] * 6.5, 1.5 + dims[:, 1] * 1.5,
                      1.0 + dims[:, 2] * 2.0], axis=-1)
-    u = jax.random.uniform(ku, (MAX_BOXES, per_box, 3))
-    box_pts = jnp.concatenate([
-        (u[..., :2] - 0.5) * lwh[:, None, :2] + centers[:, None, :],
-        (-2.0 + u[..., 2:] * lwh[:, None, 2:3])], axis=-1)
+    # surface sampling: pick one of 5 visible faces (+-x, +-y, top) per
+    # point, area-weighted, then uv on the face
+    l, w_, hgt = lwh[:, 0:1], lwh[:, 1:2], lwh[:, 2:3]
+    areas = jnp.concatenate([w_ * hgt, w_ * hgt, l * hgt, l * hgt, l * w_],
+                            axis=-1)                      # (MAX_BOXES, 5)
+    face = jax.random.categorical(kf, jnp.log(areas + 1e-6)[:, None, :],
+                                  shape=(MAX_BOXES, per_box))
+    u = jax.random.uniform(ku, (MAX_BOXES, per_box, 2)) - 0.5
+    fx = jnp.stack([jnp.full_like(u[..., 0], 0.5), -0.5 + 0 * u[..., 0],
+                    u[..., 0], u[..., 0], u[..., 0]], axis=-1)
+    fy = jnp.stack([u[..., 1], u[..., 1],
+                    jnp.full_like(u[..., 1], 0.5), -0.5 + 0 * u[..., 1],
+                    u[..., 1]], axis=-1)
+    fz01 = jnp.stack([u[..., 0] + 0.5, u[..., 0] + 0.5, u[..., 1] + 0.5,
+                      u[..., 1] + 0.5, jnp.ones_like(u[..., 0])], axis=-1)
+    pick = jax.nn.one_hot(face, 5)
+    bx = (pick * fx).sum(-1) * lwh[:, None, 0] + centers[:, None, 0]
+    by = (pick * fy).sum(-1) * lwh[:, None, 1] + centers[:, None, 1]
+    bz = -2.0 + (pick * fz01).sum(-1) * lwh[:, None, 2]
+    box_pts = jnp.stack([bx, by, bz], axis=-1)
     # invalid slots -> extra ground-distributed points (static shapes)
     kgr, kgt = jax.random.split(kn)
     r2 = jnp.sqrt(jax.random.uniform(kgr, (MAX_BOXES, per_box),
@@ -70,10 +93,29 @@ def synthetic_scene_device(key: Array, n_points: int = 120000) -> Array:
     slot_ok = (jnp.arange(MAX_BOXES) < n_box)[:, None, None]
     boxes = jnp.where(slot_ok, box_pts, ground_fill).reshape(-1, 3)
 
-    kx, kz2 = jax.random.split(kp)
-    pxy = jax.random.uniform(kx, (n_pole, 2), minval=-30.0, maxval=30.0)
-    pz = jax.random.uniform(kz2, (n_pole, 1), minval=-2.0, maxval=4.0)
-    poles = jnp.concatenate([pxy, pz], axis=-1)
+    # coherent vertical poles: cylinder surfaces, not iid point soup
+    n_poles = 24
+    per_pole = n_pole // n_poles
+    rest = n_pole - n_poles * per_pole
+    kx, kh2, kr3, ka, kz2 = jax.random.split(kp, 5)
+    pole_xy = jax.random.uniform(kx, (n_poles, 1, 2), minval=-30.0,
+                                 maxval=30.0)
+    pole_h = jax.random.uniform(kh2, (n_poles, 1), minval=2.0, maxval=6.0)
+    pole_r = jax.random.uniform(kr3, (n_poles, 1), minval=0.08, maxval=0.3)
+    ang = jax.random.uniform(ka, (n_poles, per_pole), minval=-jnp.pi,
+                             maxval=jnp.pi)
+    zz = -2.0 + jax.random.uniform(kz2, (n_poles, per_pole)) * pole_h
+    px = pole_xy[..., 0] + pole_r * jnp.cos(ang)
+    py = pole_xy[..., 1] + pole_r * jnp.sin(ang)
+    poles = jnp.stack([px, py, zz], axis=-1).reshape(-1, 3)
+    if rest:  # round off with ground points (static shapes)
+        kcr, kct = jax.random.split(kn, 2)
+        rr = jnp.sqrt(jax.random.uniform(kcr, (rest,), minval=4.0,
+                                         maxval=2500.0))
+        tt = jax.random.uniform(kct, (rest,), minval=-jnp.pi, maxval=jnp.pi)
+        poles = jnp.concatenate([
+            poles, jnp.stack([rr * jnp.cos(tt), rr * jnp.sin(tt),
+                              jnp.full_like(rr, -1.9)], axis=-1)])
 
     return jnp.concatenate([ground, boxes, poles]).astype(jnp.float32)
 

@@ -23,17 +23,27 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--workdir", default="./runs/northstar_r02b")
+    p.add_argument("--workdir", default="./runs/northstar_r03")
     p.add_argument("--n-eval", type=int, default=256)
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--out", default="DPM_QUALITY.json")
+    p.add_argument("--ae-ch", type=int, default=48,
+                   help="stage-A width of the restored run")
+    p.add_argument("--n-embed", type=int, default=8192)
+    p.add_argument("--no-mask", action="store_true",
+                   help="restored run trained without the ray-drop head")
+    p.add_argument("--vq-init", default="taming")
+    p.add_argument("--cosine-steps", type=int, default=0,
+                   help="the run's --lidm-steps when it used --cosine "
+                        "(rebuilds the schedule so the orbax opt-state tree "
+                        "matches)")
+    p.add_argument("--lidm-lr", type=float, default=2e-4)
     args = p.parse_args()
 
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from lidar_layout_tpu.data.synthetic import synthetic_scene
     from lidar_layout_tpu.eval.metrics import evaluate
     from lidar_layout_tpu.models.autoencoder import AEConfig
     from lidar_layout_tpu.models.diffusion import (DiffusionConfig,
@@ -50,9 +60,9 @@ def main():
     # production north-star config (northstar_train.py, non-tiny branch)
     geom = KITTI_GEOMETRY
     h, w = geom.size
-    ae_cfg = AEConfig(ch=32, ch_mult=(1, 2, 2, 4),
+    ae_cfg = AEConfig(ch=args.ae_ch, ch_mult=(1, 2, 2, 4),
                       strides=((1, 2), (2, 2), (2, 2)), z_channels=8,
-                      out_ch=2, num_res_blocks=2)
+                      out_ch=1 if args.no_mask else 2, num_res_blocks=2)
     unet_cfg = UNetConfig(in_channels=8, model_channels=128, out_channels=8,
                           num_res_blocks=2, attention_resolutions=(4, 2, 1),
                           channel_mult=(1, 2, 4), num_head_channels=32)
@@ -60,9 +70,18 @@ def main():
                                linear_end=0.0195, latent_shape=(16, 128, 8),
                                scale_by_std=True)
     model = LatentDiffusion(diff_cfg, unet_cfg, first_stage_cfg=ae_cfg,
-                            n_embed=2048, embed_dim=8, use_mask=True)
+                            n_embed=args.n_embed, embed_dim=8,
+                            use_mask=not args.no_mask, vq_init=args.vq_init)
     params = model.init(jax.random.key(1), image_shape=(h, w, 1))
-    tx = make_optimizer(2e-4)
+    if args.cosine_steps:
+        from lidar_layout_tpu.train.lr_schedule import \
+            lambda_warmup_cosine_optax
+        lr = lambda_warmup_cosine_optax(
+            base_lr=args.lidm_lr, warm_up_steps=1000, lr_min=0.1, lr_max=1.0,
+            lr_start=0.01, max_decay_steps=args.cosine_steps)
+    else:
+        lr = args.lidm_lr
+    tx = make_optimizer(lr)
     dstate = create_train_state(model, params, tx)
     dstate = restore_checkpoint(os.path.join(args.workdir, "ckpt_lidm"),
                                 dstate)
@@ -73,20 +92,12 @@ def main():
     # as northstar_train did (same first 16 pool scenes -> encode -> 1/std)
     from lidar_layout_tpu.models.diffusion import apply_scale_by_std
 
-    @jax.jit
-    def project(pts):
-        img, _ = L.pcd2range(pts, geom)
-        model_img, mask = L.process_scan(img, geom)
-        return model_img, mask
-
-    probe = np.zeros((16, h, w, 1), np.float32)
-    for i in range(16):
-        img, _ = project(jnp.asarray(
-            synthetic_scene(np.random.default_rng(i), 120000)))
-        probe[i, ..., 0] = np.asarray(img)
-    s = apply_scale_by_std(model, trained, jnp.asarray(probe))
-    print(f"[dpm_quality] scale_factor={float(s):.4f} (train log: 0.2302)",
-          flush=True)
+    from lidar_layout_tpu.data.device_synthetic import (host_range2pcd,
+                                                        scene_image_batch)
+    probe_im, _ = scene_image_batch(jax.random.key(1_000_000), 16, 120000,
+                                    geom)
+    s = apply_scale_by_std(model, trained, probe_im[..., None])
+    print(f"[dpm_quality] scale_factor={float(s):.4f}", flush=True)
 
     lh, lw, lc = diff_cfg.latent_shape
     b = args.batch
@@ -96,28 +107,31 @@ def main():
         def sample_batch(ps, key):
             z = sampler(model, ps, key, (b, lh, lw, lc), steps=steps)
             imgs = model.decode_first_stage(ps, z)
-            xyz, valid = jax.vmap(lambda im: L.range2pcd(im, geom))(
-                imgs[..., 0])
-            return xyz, valid
+            return imgs[..., 0].astype(jnp.float16)
 
         def draw():
             clouds = []
             # warmup/compile outside the timed region
-            _ = jax.tree.map(np.asarray,
-                             sample_batch(trained, jax.random.key(0)))
+            _ = np.asarray(sample_batch(trained, jax.random.key(0)))
             t0 = time.perf_counter()
             for i in range((args.n_eval + b - 1) // b):
-                xyz, valid = jax.tree.map(
-                    np.asarray, sample_batch(trained, jax.random.key(7000 + i)))
-                for pc, v in zip(xyz, valid):
-                    clouds.append(pc[v])
+                imgs = np.asarray(sample_batch(trained,
+                                               jax.random.key(7000 + i))
+                                  ).astype(np.float32)
+                clouds += [host_range2pcd(im, geom) for im in imgs]
             dt = time.perf_counter() - t0
             return clouds[: args.n_eval], dt
 
         return draw
 
-    ref = [synthetic_scene(np.random.default_rng(10_000 + i), 120000)
-           for i in range(args.n_eval)]
+    # held-out references: REPROJECTED scenes, the r03 eval convention
+    ref = []
+    for i in range(0, args.n_eval, 64):
+        im, _ = scene_image_batch(jax.random.key(9_000_000 + i), 64, 120000,
+                                  geom)
+        im = np.asarray(im.astype(jnp.float16)).astype(np.float32)
+        ref += [host_range2pcd(x, geom) for x in im]
+    ref = ref[:args.n_eval]
 
     variants = {
         "ddim50": make_draw(ddim_sample, 50),

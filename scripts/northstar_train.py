@@ -56,6 +56,15 @@ def main():
                         "configs/autoencoder/kitti/autoencoder_c2_p4.yaml)")
     p.add_argument("--n-embed", type=int, default=2048,
                    help="VQ codebook size (reference flagship: 16384)")
+    p.add_argument("--no-mask", action="store_true",
+                   help="reference flagship stage-A recipe: no ray-drop "
+                        "head, pure pixel L1 + smooth/normal, geo/mask "
+                        "factors 0, GAN off (autoencoder_c2_p4.yaml). "
+                        "r03 diag: the mask+geo recipe diluted the depth "
+                        "gradient 3x and recon depth MAE was the JSD "
+                        "bottleneck")
+    p.add_argument("--vq-init", default="taming",
+                   help="taming | normal codebook init (nn/quantize.py)")
     args = p.parse_args()
 
     import jax
@@ -85,13 +94,17 @@ def main():
 
     os.makedirs(args.workdir, exist_ok=True)
     t_start = time.perf_counter()
-    report = {"stages": {}}
+    report = {"stages": {}, "config": {
+        k: getattr(args, k) for k in ("ae_steps", "lidm_steps", "ae_batch",
+                                      "lidm_batch", "pool", "ae_ch",
+                                      "n_embed", "no_mask", "vq_init",
+                                      "cosine", "scale_by_std")}}
 
     if args.tiny:
         geom = LidarGeometry(size=(16, 128))
         ae_cfg = AEConfig(ch=16, ch_mult=(1, 2, 2, 4),
                           strides=((1, 2), (2, 2), (2, 2)), z_channels=8,
-                          out_ch=2, num_res_blocks=1)
+                          out_ch=1 if args.no_mask else 2, num_res_blocks=1)
         unet_cfg = UNetConfig(in_channels=8, model_channels=32, out_channels=8,
                               num_res_blocks=1, attention_resolutions=(2,),
                               channel_mult=(1, 2), num_head_channels=8)
@@ -101,7 +114,7 @@ def main():
         geom = KITTI_GEOMETRY
         ae_cfg = AEConfig(ch=args.ae_ch or 32, ch_mult=(1, 2, 2, 4),
                           strides=((1, 2), (2, 2), (2, 2)), z_channels=8,
-                          out_ch=2, num_res_blocks=2)
+                          out_ch=1 if args.no_mask else 2, num_res_blocks=2)
         unet_cfg = UNetConfig(in_channels=8, model_channels=128,
                               out_channels=8, num_res_blocks=2,
                               attention_resolutions=(4, 2, 1),
@@ -162,9 +175,19 @@ def main():
 
     # ------------------------------- stage A: VQ-GAN AE -------------------
     print("[northstar] stage A: training VQ-GAN AE...", flush=True)
-    ae = VQModel(ae_cfg, n_embed=args.n_embed, embed_dim=8, use_mask=True)
-    loss_cfg = VQLossConfig(mask_factor=1.0, geo_factor=1.0, curve_length=1,
-                            disc_start=2000, disc_weight=0.3)
+    ae = VQModel(ae_cfg, n_embed=args.n_embed, embed_dim=8,
+                 use_mask=not args.no_mask, vq_init=args.vq_init)
+    if args.no_mask:
+        # reference flagship recipe (autoencoder_c2_p4.yaml): pixel L1 at
+        # full weight + smooth/normal 0.1, disc_start=1 under the 'until'
+        # gate = GAN off
+        loss_cfg = VQLossConfig(mask_factor=0.0, geo_factor=0.0,
+                                curve_length=1, disc_start=1,
+                                disc_weight=0.6)
+    else:
+        loss_cfg = VQLossConfig(mask_factor=1.0, geo_factor=1.0,
+                                curve_length=1, disc_start=2000,
+                                disc_weight=0.3)
     geo = GeoConverter(geom, curve_length=loss_cfg.curve_length)
     disc = LiDARNLayerDiscriminator()
     tx_g, tx_d = make_ae_optimizers(2e-4, 2e-4)
@@ -225,7 +248,8 @@ def main():
         import dataclasses
         diff_cfg = dataclasses.replace(diff_cfg, scale_by_std=True)
     model = LatentDiffusion(diff_cfg, unet_cfg, first_stage_cfg=ae_cfg,
-                            n_embed=args.n_embed, embed_dim=8, use_mask=True)
+                            n_embed=args.n_embed, embed_dim=8,
+                            use_mask=not args.no_mask, vq_init=args.vq_init)
     params = model.init(jax.random.key(1), image_shape=(h, w, 1))
     params["first_stage"] = ae_state.params_g  # trained stage A, frozen
     if args.scale_by_std:
