@@ -20,9 +20,12 @@ import jax
 import jax.numpy as jnp
 
 from lidar_layout_tpu.eval.sparse_seg_nets import (_K2, _K3, MinkowskiNet,
+
                                                    SegNetConfig,
                                                    convert_torchsparse_state_dict,
                                                    make_template_state_dict)
+
+pytestmark = pytest.mark.slow  # heavy e2e/kernel file; default run skips (pytest.ini), CI/--runslow includes
 
 CFG = SegNetConfig(input_dims=4, cr=0.25, num_class=5, capacity=1024, bits=6)
 D = 16  # dense extent; L4 coords live in [0, 1)

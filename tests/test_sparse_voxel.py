@@ -11,6 +11,7 @@ from lidar_layout_tpu.models.cube_diffusion import (CubeDiffusion,
 from lidar_layout_tpu.models.sparse_vae import (SparseVAE, SparseVAEConfig,
                                                 struct_loss)
 from lidar_layout_tpu.ops.voxel import (OFFSETS_27, VoxelGrid, build_grid,
+
                                         gather_neighbors, lookup,
                                         occupancy_targets, pool_to_parent,
                                         voxelize_points)
@@ -94,6 +95,7 @@ class TestVoxelOps:
         assert occ.sum() == 3  # three existing children in total
 
 
+@pytest.mark.slow
 class TestSparseVAE:
     @pytest.fixture(scope="class")
     def vae_out(self):
@@ -137,6 +139,7 @@ class TestSparseVAE:
         assert float(l) < l0
 
 
+@pytest.mark.slow
 class TestCubeDiffusion:
     def test_train_and_sample(self):
         pts, feats, mask = cloud(np.random.default_rng(1))

@@ -6,6 +6,9 @@ import numpy as np
 
 from lidar_layout_tpu.models.spunet import SpUNet, SpUNetConfig
 
+pytestmark = pytest.mark.slow  # heavy e2e/kernel file; default run skips (pytest.ini), CI/--runslow includes
+
+
 TINY = SpUNetConfig(
     in_channels=4, num_classes=5, base_channels=8,
     channels=(8, 16, 16, 8), layers=(1, 1, 1, 1),

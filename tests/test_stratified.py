@@ -7,10 +7,13 @@ import numpy as np
 import pytest
 
 from lidar_layout_tpu.models.stratified import (StratifiedConfig,
+
                                                 StratifiedTransformer,
                                                 dense_window_edges,
                                                 stratified_edges,
                                                 window_buckets)
+
+pytestmark = pytest.mark.slow  # heavy e2e/kernel file; default run skips (pytest.ini), CI/--runslow includes
 
 TINY = StratifiedConfig(
     in_channels=4, num_classes=5, channels=(8, 16, 16, 16),

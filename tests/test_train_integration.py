@@ -22,6 +22,9 @@ from lidar_layout_tpu.models.diffusion import (DiffusionConfig,
 from lidar_layout_tpu.models.unet import UNetConfig
 from lidar_layout_tpu.ops.foldunfold import patched_apply_scaled
 
+pytestmark = pytest.mark.slow  # heavy e2e/kernel file; default run skips (pytest.ini), CI/--runslow includes
+
+
 TINY_AE = AEConfig(ch=16, ch_mult=(1, 2, 2, 4),
                    strides=((1, 2), (2, 2), (2, 2)), z_channels=8, out_ch=2,
                    num_res_blocks=1)

@@ -19,8 +19,11 @@ from lidar_layout_tpu.train.ae_trainer import (create_ae_state,
                                                make_ae_optimizers,
                                                make_ae_train_step)
 from lidar_layout_tpu.train.diffusion_trainer import (create_train_state,
+
                                                       make_optimizer,
                                                       make_train_step)
+
+pytestmark = pytest.mark.slow  # heavy e2e/kernel file; default run skips (pytest.ini), CI/--runslow includes
 
 GEOM = LidarGeometry(size=(16, 64))
 UNET_CFG = UNetConfig(in_channels=2, model_channels=32, out_channels=2,
