@@ -433,6 +433,19 @@ def _builders():
 
     register("stratified", "ST-v1m1")(build_stratified)
 
+    def build_octformer(params, **kw):
+        """pointcept OctFormer-v1m1 kwargs -> OctFormer
+        (octformer_v1m1_base.py:508-525)."""
+        import dataclasses
+
+        from .models.octformer import OctFormer, OctFormerConfig
+        keys = {f.name for f in dataclasses.fields(OctFormerConfig)}
+        return OctFormer(OctFormerConfig(**{
+            k: (tuple(v) if isinstance(v, list) else v)
+            for k, v in (params or {}).items() if k in keys}))
+
+    register("octformer", "OctFormer-v1m1")(build_octformer)
+
     def _unwrap(d):
         """Accept both {target, params:{...}} wrappers and bare dicts."""
         d = d or {}
