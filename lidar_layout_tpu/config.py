@@ -446,6 +446,19 @@ def _builders():
 
     register("octformer", "OctFormer-v1m1")(build_octformer)
 
+    def build_swin3d(params, **kw):
+        """pointcept Swin3D-v1m1 kwargs -> Swin3DUNet
+        (swin3d_v1m1_base.py:14-33)."""
+        import dataclasses
+
+        from .models.swin3d import Swin3DConfig, Swin3DUNet
+        keys = {f.name for f in dataclasses.fields(Swin3DConfig)}
+        return Swin3DUNet(Swin3DConfig(**{
+            k: (tuple(v) if isinstance(v, list) else v)
+            for k, v in (params or {}).items() if k in keys}))
+
+    register("swin3d", "Swin3D-v1m1")(build_swin3d)
+
     def _unwrap(d):
         """Accept both {target, params:{...}} wrappers and bare dicts."""
         d = d or {}
