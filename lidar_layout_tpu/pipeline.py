@@ -68,8 +68,12 @@ class GenerationPipeline:
     model: Any
     params: Any
     geom: Any
-    sampler: str = "ddim"
-    steps: int = 50
+    # DPM-Solver++(2M) at 20 steps is the serving default: DPM_QUALITY.json
+    # (trained north-star EMA weights) shows JSD/MMD parity with DDIM-50
+    # (0.3524 vs 0.3541 / 3.3e-5 both) at 1.38x device throughput (2.5x
+    # fewer model evals; the VQ decode is the remaining fixed cost).
+    sampler: str = "dpm"
+    steps: int = 20
     eta: float = 0.0
     _cache: Dict[Tuple, Any] = field(default_factory=dict, repr=False)
 

@@ -138,21 +138,45 @@ def main():
         "dpm20": make_draw(dpm_solver_sample, 20),
         "dpm10": make_draw(dpm_solver_sample, 10),
     }
+    def device_time(sampler, steps):
+        """On-device sampling+decode wall time (scalar readback only) — the
+        draw() clock is dominated by the ~300 KB/s relay download of the f16
+        images, which is eval plumbing, not solver speed."""
+        @jax.jit
+        def run(ps, key):
+            z = sampler(model, ps, key, (b, lh, lw, lc), steps=steps)
+            return jnp.sum(model.decode_first_stage(ps, z).astype(jnp.float32))
+
+        float(run(trained, jax.random.key(0)))  # compile+warm
+        ts = []
+        for r in range(3):
+            t0 = time.perf_counter()
+            float(run(trained, jax.random.key(1 + r)))
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return ts[len(ts) // 2]
+
     report = {"n_samples": args.n_eval, "batch": b,
               "ckpt_step": int(dstate.step), "variants": {}}
     for name, draw in variants.items():
         clouds, dt = draw()
         m = evaluate(ref, clouds, ["jsd", "mmd"], "64")
         report["variants"][name] = {
-            "gen_seconds": round(dt, 1),
-            "samples_per_sec": round(args.n_eval / dt, 2),
+            "gen_seconds_incl_download": round(dt, 1),
             **{k: round(float(v), 6) for k, v in m.items()}}
         print(json.dumps({name: report["variants"][name]}), flush=True)
+    probes = {"ddim50": (ddim_sample, 50), "dpm20": (dpm_solver_sample, 20),
+              "dpm10": (dpm_solver_sample, 10)}
+    for name, (sampler, steps) in probes.items():
+        dt = device_time(sampler, steps)
+        report["variants"][name]["device_seconds_per_batch"] = round(dt, 3)
+        report["variants"][name]["samples_per_sec_device"] = round(b / dt, 2)
+        print(f"{name}: {dt:.3f}s/batch on device", flush=True)
 
     d50 = report["variants"]["ddim50"]
     d20 = report["variants"]["dpm20"]
     report["dpm20_speedup_vs_ddim50"] = round(
-        d20["samples_per_sec"] / d50["samples_per_sec"], 2)
+        d20["samples_per_sec_device"] / d50["samples_per_sec_device"], 2)
     report["hardware"] = str(jax.devices()[0].platform)
     report["description"] = (
         "Trained north-star LiDM (EMA weights): identical decode/eval "
