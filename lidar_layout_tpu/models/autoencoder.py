@@ -181,7 +181,7 @@ class VQModel(nn.Module):
         self.encoder = Encoder(self.cfg, dtype=self.dtype)
         self.decoder = Decoder(self.cfg, dtype=self.dtype)
         self.quantize = VectorQuantizer(self.n_embed, self.embed_dim,
-                                        init=self.vq_init)
+                                        codebook_init=self.vq_init)
         self.quant_conv = Conv1x1(self.embed_dim, dtype=self.dtype)
         self.post_quant_conv = Conv1x1(self.cfg.z_channels, dtype=self.dtype)
 

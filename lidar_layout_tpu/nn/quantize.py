@@ -33,11 +33,13 @@ class VectorQuantizer(nn.Module):
     # for from-scratch training: the taming ball (±1/n) is ~1e-4 wide while
     # encoder latents reach std ~4, so nearly all codes start equidistant-at-
     # the-origin and collapse (r03 diag: perplexity 30 of 2048).
-    init: str = "taming"
+    # NOTE: named codebook_init, not "init" — a field called `init` would
+    # shadow flax's nn.Module.init and break the module's public API.
+    codebook_init: str = "taming"
 
     @nn.compact
     def __call__(self, z: Array) -> Tuple[Array, Array, Array]:
-        if self.init == "taming":
+        if self.codebook_init == "taming":
             cb_init = lambda key, shape: jax.random.uniform(
                 key, shape, minval=-1.0 / self.n_embed,
                 maxval=1.0 / self.n_embed)

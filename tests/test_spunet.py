@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from lidar_layout_tpu.models.spunet import SpUNet, SpUNetConfig
 
