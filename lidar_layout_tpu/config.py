@@ -145,13 +145,26 @@ def _builders():
             method=params.get("method", "bilinear"),
             out_channels=params.get("out_channels"),
             wh_factors=tuple(params.get("wh_factors", (0.5, 0.5)))))
-    register("bert_embedder", "lidm.modules.encoders.modules.BERTEmbedder")(
-        lambda params, **kw: BERTEmbedder(
+    def build_bert_embedder(params, **kw):
+        """backend: 'compact' (default, checkpoint-template stand-in) or
+        'x_transformer' — the full vendored-library port, matching the
+        reference's BERTEmbedder -> x_transformer.TransformerWrapper wiring
+        (lidm/modules/encoders/modules.py:81-106)."""
+        common = dict(
             n_embed=params.get("n_embed", 640),
             n_layer=params.get("n_layer", 32),
             vocab_size=params.get("vocab_size", 30522),
             max_seq_len=params.get("max_seq_len", 77),
-            embedding_dropout=params.get("embedding_dropout", 0.0)))
+            embedding_dropout=params.get("embedding_dropout", 0.0))
+        if params.get("backend", "compact") in ("x_transformer", "xt"):
+            from .encoders.modules import XTransformerBERTEmbedder
+            return XTransformerBERTEmbedder(
+                heads=params.get("heads", 8),
+                attn_flags=params.get("attn_flags"), **common)
+        return BERTEmbedder(**common)
+
+    register("bert_embedder", "lidm.modules.encoders.modules.BERTEmbedder")(
+        build_bert_embedder)
     register("transformer_embedder",
              "lidm.modules.encoders.modules.TransformerEmbedder")(
         lambda params, **kw: TransformerEmbedder(

@@ -198,6 +198,42 @@ class BERTEmbedder(nn.Module):
             name="transformer")(tokens, deterministic=deterministic)
 
 
+class XTransformerBERTEmbedder(nn.Module):
+    """BERTEmbedder backed by the full x-transformers port.
+
+    Parity: the reference's BERTEmbedder (modules.py:81-106) wraps the vendored
+    library directly — ``TransformerWrapper(num_tokens, max_seq_len,
+    attn_layers=Encoder(dim=n_embed, depth=n_layer), emb_dropout)`` and returns
+    per-token embeddings (``return_embeddings=True``). This class does the same
+    over ``encoders.x_transformer`` so x-transformers feature flags
+    (talking heads, sparse top-k, memory kv, macaron, rezero, gated residuals,
+    position-infused attention …) are reachable from YAML configs; the compact
+    ``BERTEmbedder`` stand-in above remains the checkpoint-template default.
+    """
+
+    n_embed: int = 640
+    n_layer: int = 32
+    vocab_size: int = 30522
+    max_seq_len: int = 77
+    embedding_dropout: float = 0.0
+    heads: int = 8
+    # pass-through x-transformers feature flags (x_transformer.AttentionLayers)
+    attn_flags: Optional[dict] = None
+
+    @nn.compact
+    def __call__(self, tokens: Array, deterministic: bool = True) -> Array:
+        from .x_transformer import Encoder as XTEncoder
+        from .x_transformer import TransformerWrapper
+        layers = XTEncoder(dim=self.n_embed, depth=self.n_layer,
+                           heads=self.heads, **(self.attn_flags or {}))
+        wrapper = TransformerWrapper(
+            num_tokens=self.vocab_size, max_seq_len=self.max_seq_len,
+            attn_layers=layers, emb_dropout=self.embedding_dropout,
+            name="transformer")
+        return wrapper(tokens, return_embeddings=True,
+                       deterministic=deterministic)
+
+
 class FrozenCLIPTextEmbedder(nn.Module):
     """Text -> (B, 1, 768) normalized CLIP embedding (modules.py:136-168)."""
 

@@ -113,8 +113,18 @@ class LatentDiffusion:
             tb = jnp.zeros((b,), jnp.int32)
             unet_params = self.unet.init(r1, zb, tb, cond_out)
         else:
-            unet_in = z if concat is None else jnp.concatenate([z, concat], axis=-1)
-            unet_params = self.unet.init(r1, unet_in, t, context=context, y=y)
+            # batch sizes must agree between latents and conditioning (cross-
+            # attention K/V reshape uses the query batch): broadcast z/t to
+            # the conditioning batch when an example with batch > 1 is given.
+            b = 1
+            for part in (context, concat, y):
+                if part is not None:
+                    b = max(b, part.shape[0])
+            zb = jnp.broadcast_to(z, (b, *z.shape[1:]))
+            tb = jnp.zeros((b,), jnp.int32)
+            unet_in = zb if concat is None else jnp.concatenate(
+                [zb, concat], axis=-1)
+            unet_params = self.unet.init(r1, unet_in, tb, context=context, y=y)
 
         fs_params = {}
         if self.first_stage is not None:
