@@ -64,6 +64,43 @@ def bev_occupancy_bitmaps(xyz: Array, valid: Array, data_type: str = "64",
     return jax.vmap(one)(pix)
 
 
+def pack_bitmaps(bits: Array) -> Array:
+    """(B, G) bool -> (B, ceil(G/8)) uint8, MSB-first (np.unpackbits layout).
+
+    The axon relay moves ~300 KB/s (PERF.md #7): a batch-125 bool bitmap
+    readback is 5 MB (~17 s of pure transfer); packed it's 625 KB. This was
+    most of DPM_QUALITY's ~5.9 s/batch solver-independent cost (VERDICT r3
+    weak #3)."""
+    b, g = bits.shape
+    pad = (-g) % 8
+    if pad:
+        bits = jnp.pad(bits, ((0, 0), (0, pad)))
+    w = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)  # MSB first
+    return (bits.reshape(b, -1, 8).astype(jnp.uint8) * w).sum(
+        axis=-1, dtype=jnp.uint8)
+
+
+def unpack_bitmaps(packed: np.ndarray, n_cells: int) -> np.ndarray:
+    """Host inverse of pack_bitmaps: (B, ceil(G/8)) uint8 -> (B, G) bool."""
+    return np.unpackbits(np.asarray(packed, np.uint8), axis=1,
+                         count=n_cells).astype(bool)
+
+
+def bev_occupancy_packed(xyz: Array, valid: Array, data_type: str = "64",
+                         voxel_size: float = 0.5) -> Array:
+    """bev_occupancy_bitmaps with the relay-friendly packed readback."""
+    return pack_bitmaps(bev_occupancy_bitmaps(xyz, valid, data_type,
+                                              voxel_size))
+
+
+def mmd_from_packed(ref_packed: np.ndarray, smp_packed: np.ndarray,
+                    data_type: str = "64", voxel_size: float = 0.5) -> float:
+    nx, ny, _, _ = _grid_dims(data_type, voxel_size)
+    return mmd_from_bitmaps(unpack_bitmaps(ref_packed, nx * ny),
+                            unpack_bitmaps(smp_packed, nx * ny),
+                            data_type, voxel_size)
+
+
 def bev_hist_accumulate(xyz: Array, valid: Array, data_type: str = "64",
                         voxel_size: float = 0.05) -> Array:
     """(B, N, 3) points -> (nx, ny) f32 sum over the batch of per-cloud

@@ -29,19 +29,23 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--workdir", default="./runs/northstar_r02b")
+    p.add_argument("--workdir", default="./runs/northstar_r04")
     p.add_argument("--n-samples", type=int, default=2000)
     p.add_argument("--batch", type=int, default=125)
-    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--sampler", default="dpm", choices=("dpm", "ddim"),
+                   help="dpm = DPM-Solver++(2M), the serving default since "
+                        "DPM_QUALITY showed 20-step quality parity with "
+                        "ddim50 on the trained model")
+    p.add_argument("--steps", type=int, default=20)
     p.add_argument("--out", default="NORTHSTAR_2K.json")
     p.add_argument("--smoke", action="store_true",
                    help="CPU logic check: random weights, tiny counts")
-    p.add_argument("--ae-ch", type=int, default=32,
+    p.add_argument("--ae-ch", type=int, default=48,
                    help="stage-A base width — must match the restored "
                         "northstar_train run's --ae-ch")
-    p.add_argument("--n-embed", type=int, default=2048,
+    p.add_argument("--n-embed", type=int, default=8192,
                    help="VQ codebook size — must match the run's --n-embed")
-    p.add_argument("--lidm-steps", type=int, default=36000,
+    p.add_argument("--lidm-steps", type=int, default=24000,
                    help="the run's --lidm-steps (fixes the cosine-schedule "
                         "opt-state tree for orbax restore)")
     args = p.parse_args()
@@ -59,15 +63,15 @@ def main():
 
     from lidar_layout_tpu.data.synthetic import synthetic_scene
     from lidar_layout_tpu.eval.device_metrics import (
-        bev_hist_accumulate, bev_occupancy_bitmaps, jsd_from_hists,
-        mmd_from_bitmaps, rangenet_input_from_model_imgs)
+        bev_hist_accumulate, bev_occupancy_packed, jsd_from_hists,
+        mmd_from_packed, rangenet_input_from_model_imgs)
     from lidar_layout_tpu.eval.metrics import frechet_distance
     from lidar_layout_tpu.eval.registry import build_range_feature_net
     from lidar_layout_tpu.models.autoencoder import AEConfig
     from lidar_layout_tpu.models.diffusion import (DiffusionConfig,
                                                    LatentDiffusion,
                                                    apply_scale_by_std)
-    from lidar_layout_tpu.models.samplers import ddim_sample
+    from lidar_layout_tpu.models.samplers import ddim_sample, dpm_solver_sample
     from lidar_layout_tpu.models.unet import UNetConfig
     from lidar_layout_tpu.ops import lidar as L
     from lidar_layout_tpu.ops.lidar import KITTI_GEOMETRY
@@ -138,17 +142,28 @@ def main():
         _, out = jax.lax.scan(body, 0.0, rin.reshape(k, n // k, *rin.shape[1:]))
         return out.reshape(n, -1)
 
+    def _solve(ps, key):
+        if args.sampler == "dpm":
+            return dpm_solver_sample(model, ps, key, (b, lh, lw, lc),
+                                     steps=args.steps)
+        return ddim_sample(model, ps, key, (b, lh, lw, lc), steps=args.steps)
+
+    def _featurize(pm, imgs, hist):
+        xyz, valid = jax.vmap(lambda im: L.range2pcd(im, geom))(imgs)
+        hist = hist + bev_hist_accumulate(xyz, valid, "64", 0.05)
+        # packed uint8 bitmaps: 8x smaller stage-out through the ~300 KB/s
+        # relay — the bulk of r3's ~5.9 s/batch solver-independent cost
+        bits = bev_occupancy_packed(xyz, valid, "64", 0.5)
+        feats = _rangenet_feats(pm, rangenet_input_from_model_imgs(imgs, geom))
+        return hist, bits, feats.astype(jnp.float16)
+
     @jax.jit
     def gen_batch(ps, pm, key, hist):
         """Sample + decode + ALL metric featurization on device. Readback is
-        bitmaps (B, 40k bool) + features (B, D) — not 100 MB of clouds."""
-        z = ddim_sample(model, ps, key, (b, lh, lw, lc), steps=args.steps)
+        packed bitmaps (B, 5 KB) + f16 features (B, D) — not clouds."""
+        z = _solve(ps, key)
         imgs = model.decode_first_stage(ps, z)[..., 0]
-        xyz, valid = jax.vmap(lambda im: L.range2pcd(im, geom))(imgs)
-        hist = hist + bev_hist_accumulate(xyz, valid, "64", 0.05)
-        bits = bev_occupancy_bitmaps(xyz, valid, "64", 0.5)
-        feats = _rangenet_feats(pm, rangenet_input_from_model_imgs(imgs, geom))
-        return hist, bits, feats
+        return _featurize(pm, imgs, hist)
 
     @jax.jit
     def ref_batch(pm, pts, hist):
@@ -159,11 +174,26 @@ def main():
         # ~2x MMD on 32-scene probes: 82% of points are dropped by the
         # 64x1024 projection).
         imgs, _ = jax.vmap(lambda p: project(p))(pts)
-        xyz, valid = jax.vmap(lambda im: L.range2pcd(im, geom))(imgs)
-        hist = hist + bev_hist_accumulate(xyz, valid, "64", 0.05)
-        bits = bev_occupancy_bitmaps(xyz, valid, "64", 0.5)
-        feats = _rangenet_feats(pm, rangenet_input_from_model_imgs(imgs, geom))
-        return hist, bits, feats
+        return _featurize(pm, imgs, hist)
+
+    # ---- phase attribution (VERDICT r3 #3): where does a serving batch's
+    # device time go? Each phase is its own compiled program; readback of one
+    # scalar forces completion; stage-out is measured as the FULL gen_batch
+    # minus its scalar-only twin.
+    @jax.jit
+    def ph_solver(ps, key):
+        return jnp.sum(_solve(ps, key).astype(jnp.float32))
+
+    @jax.jit
+    def ph_solver_decode(ps, key):
+        z = _solve(ps, key)
+        return jnp.sum(model.decode_first_stage(ps, z).astype(jnp.float32))
+
+    @jax.jit
+    def ph_full_scalar(ps, pm, key, hist):
+        hist, bits, feats = gen_batch.__wrapped__(ps, pm, key, hist)
+        return (jnp.sum(hist) + jnp.sum(bits.astype(jnp.float32))
+                + jnp.sum(feats.astype(jnp.float32)))
 
     # held-out references (the "dataset" side of the loop; built + scored
     # once, outside the serving clock, like the reference's cached val split)
@@ -214,14 +244,50 @@ def main():
 
     t_eval0 = time.perf_counter()
     metrics = {"jsd": jsd_from_hists(hist_ref, hist),
-               "mmd": mmd_from_bitmaps(ref_bits, smp_bits),
-               "frid": frechet_distance(ref_feats, smp_feats)}
+               "mmd": mmd_from_packed(ref_bits, smp_bits),
+               "frid": frechet_distance(ref_feats.astype(np.float64),
+                                        smp_feats.astype(np.float64))}
     eval_seconds = time.perf_counter() - t_eval0
     total = gen_seconds + eval_seconds
+
+    # ---- phase attribution on one steady-state batch ----------------------
+    def _timed(fn, *a, reps=2):
+        ts = []
+        for _ in range(reps):
+            t = time.perf_counter()
+            _ = float(fn(*a))
+            ts.append(time.perf_counter() - t)
+        return min(ts)
+
+    key_p = jax.random.key(77)
+    h0p = jnp.zeros((2000, 2000), jnp.float32)
+    _ = float(ph_solver(trained, key_p))            # compile
+    _ = float(ph_solver_decode(trained, key_p))
+    _ = float(ph_full_scalar(trained, net_params, key_p, h0p))
+    t_solver = _timed(ph_solver, trained, key_p)
+    t_sol_dec = _timed(ph_solver_decode, trained, key_p)
+    t_full_dev = _timed(ph_full_scalar, trained, net_params, key_p, h0p)
+
+    def _full_with_stageout():
+        h2, bits2, feats2 = gen_batch(trained, net_params, key_p, h0p)
+        np.asarray(bits2), np.asarray(feats2)
+        return 0.0
+    t_full_out = _timed(lambda: _full_with_stageout())
+
+    phases = {
+        "solver": round(t_solver, 3),
+        "decode": round(t_sol_dec - t_solver, 3),
+        "featurize": round(t_full_dev - t_sol_dec, 3),
+        "stage_out": round(t_full_out - t_full_dev, 3),
+        "total_per_batch": round(t_full_out, 3),
+    }
+    print(f"[2k] phase split (s/batch of {b}): {phases}", flush=True)
 
     report = {
         "n_samples": args.n_samples,
         "batch": b,
+        "sampler": args.sampler,
+        "phase_seconds_per_batch": phases,
         "ddim_steps": args.steps,
         "ckpt_step": int(dstate.step),
         "metrics": {k: round(float(v), 6) for k, v in metrics.items()},
@@ -237,13 +303,13 @@ def main():
         "hardware": str(jax.devices()[0].platform),
         "description": (
             "End-to-end 2k-sample loop on the trained north-star LiDM (EMA): "
-            "per compiled batch, 50-step DDIM + VQ decode + reprojection + "
-            "ALL metric featurization on device (JSD count-histogram "
-            "accumulation, MMD BEV occupancy bitmaps, DarkNet21 FRID "
-            "features) — readback is 5 MB of bitmaps + feature rows, not "
-            "clouds. Host closes with distance transforms + matmuls + "
-            "Frechet. Steady-state clock; compile and reference-set "
-            "scoring reported separately."),
+            "per compiled batch, solver (DPM-Solver++(2M) default) + VQ "
+            "decode + reprojection + ALL metric featurization on device "
+            "(JSD count-histogram accumulation, MMD BEV occupancy bitmaps "
+            "packed to uint8, DarkNet21 FRID features in f16) — readback is "
+            "~0.8 MB/batch, not clouds. Host closes with distance transforms "
+            "+ matmuls + Frechet. Steady-state clock; compile and "
+            "reference-set scoring reported separately."),
     }
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)

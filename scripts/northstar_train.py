@@ -65,6 +65,15 @@ def main():
                         "bottleneck")
     p.add_argument("--vq-init", default="taming",
                    help="taming | normal codebook init (nn/quantize.py)")
+    p.add_argument("--perceptual-factor", type=float, default=0.0,
+                   help="rangenet_dec perceptual loss weight for stage A "
+                        "(vqperceptual.py:109-114; the loss net IS the FRID "
+                        "feature net — same RangeNet-21, same key(0) init — "
+                        "mirroring the reference where losses/perceptual.py "
+                        "and eval FRID share the pretrained rangenet). r3 "
+                        "left the recon FRID ceiling at 198 vs a 2.5 floor "
+                        "with JSD/MMD saturated: the AE loses feature-space "
+                        "detail that pixel losses don't see (VERDICT r3 #4)")
     args = p.parse_args()
 
     import jax
@@ -98,7 +107,8 @@ def main():
         k: getattr(args, k) for k in ("ae_steps", "lidm_steps", "ae_batch",
                                       "lidm_batch", "pool", "ae_ch",
                                       "n_embed", "no_mask", "vq_init",
-                                      "cosine", "scale_by_std")}}
+                                      "cosine", "scale_by_std",
+                                      "perceptual_factor")}}
 
     if args.tiny:
         geom = LidarGeometry(size=(16, 128))
@@ -188,6 +198,13 @@ def main():
         loss_cfg = VQLossConfig(mask_factor=1.0, geo_factor=1.0,
                                 curve_length=1, disc_start=2000,
                                 disc_weight=0.3)
+    perceptual_fn = None
+    if args.perceptual_factor > 0:
+        import dataclasses as _dc
+        loss_cfg = _dc.replace(loss_cfg,
+                               perceptual_factor=args.perceptual_factor)
+        from lidar_layout_tpu.losses.perceptual import make_perceptual_fn
+        perceptual_fn = make_perceptual_fn(geom)  # key(0) = FRID feature net
     geo = GeoConverter(geom, curve_length=loss_cfg.curve_length)
     disc = LiDARNLayerDiscriminator()
     tx_g, tx_d = make_ae_optimizers(2e-4, 2e-4)
@@ -218,7 +235,8 @@ def main():
         from lidar_layout_tpu.train.ae_trainer import make_chunked_ae_train_step
         ae_chunked = make_chunked_ae_train_step(
             ae, disc, loss_cfg, geo, tx_g, tx_d,
-            make_batch_fn(args.ae_batch), chunk)
+            make_batch_fn(args.ae_batch), chunk,
+            perceptual_fn=perceptual_fn)
         save_every = max(n_chunks // 5, 1)
         for c in range(start_c, n_chunks):
             ae_state, logs = ae_chunked(ae_state, jax.random.key(c),

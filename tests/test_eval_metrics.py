@@ -187,6 +187,23 @@ class TestDeviceMetrics:
         want = M.compute_mmd(list(ref), list(smp))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-8)
 
+    def test_packed_bitmaps_roundtrip_and_mmd(self, rng):
+        from lidar_layout_tpu.eval import device_metrics as D
+
+        ref = self._clouds(rng)
+        smp = self._clouds(rng)
+        valid = jnp.ones(ref.shape[:2], bool)
+        rb = np.asarray(D.bev_occupancy_bitmaps(jnp.asarray(ref), valid))
+        rp = np.asarray(D.bev_occupancy_packed(jnp.asarray(ref), valid))
+        assert rp.dtype == np.uint8 and rp.shape[1] == (rb.shape[1] + 7) // 8
+        np.testing.assert_array_equal(
+            D.unpack_bitmaps(rp, rb.shape[1]), rb)
+        sp = np.asarray(D.bev_occupancy_packed(jnp.asarray(smp), valid))
+        sb = np.asarray(D.bev_occupancy_bitmaps(jnp.asarray(smp), valid))
+        np.testing.assert_allclose(D.mmd_from_packed(rp, sp),
+                                   D.mmd_from_bitmaps(rb, sb),
+                                   rtol=0, atol=0)
+
     def test_rangenet_input_matches_host_path(self, rng):
         from lidar_layout_tpu.eval import device_metrics as D
         from lidar_layout_tpu.eval.rangenet import preprocess_range_batch
