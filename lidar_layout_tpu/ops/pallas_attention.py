@@ -92,7 +92,15 @@ def _flash_fwd_tpu(q: Array, k: Array, v: Array,
     from jax.experimental.pallas import tpu as pltpu
 
     b, h, s, d = q.shape
-    bq = 256 if s % 256 == 0 else 128  # s % 128 == 0 per _supports_flash
+    # q-block: biggest divisor of S up to 512. Retuned under jax 0.9
+    # (scripts/attn_block_sweep.py r4): S=2048 22.5/27.5/29.1 TF/s and
+    # S=512 7.2/9.3/11.1 TF/s for bq 128/256/512 — bigger q-blocks win
+    # at every shape that admits them (fewer grid steps re-reading K/V).
+    bq = next((c for c in (512, 256, 128) if s % c == 0))
+    import os
+    bq_env = int(os.environ.get("LLT_ATTN_BQ", "0"))  # retune experiments
+    if bq_env and s % bq_env == 0:
+        bq = bq_env
     scale = d ** -0.5
     # D-major: (BH, D, S)
     qt = (q * scale).reshape(b * h, s, d).swapaxes(1, 2)

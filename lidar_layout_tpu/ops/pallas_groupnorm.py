@@ -214,15 +214,27 @@ def _fused_vjp_bwd(num_groups, eps, act, res, g):
 _fused.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
 
 
+def _fused_enabled() -> bool:
+    """Default OFF since the jax-0.9 toolchain: perf_probe r4 measured the
+    flagship denoiser at 31.6 ms/step with this kernel vs 28.85 ms/step on
+    XLA's groupnorm path (batch 16, bf16) — 0.9's Mosaic VMEM accounting
+    and XLA's improved norm fusion flipped the r2 win into a ~9% loss.
+    Re-enable for experiments with LLT_FUSED_GROUPNORM=1."""
+    import os
+
+    return os.environ.get("LLT_FUSED_GROUPNORM", "0") == "1"
+
+
 def group_norm(x: Array, gamma: Array, beta: Array, num_groups: int = 32,
                eps: float = 1e-6, act: bool = False,
                force_ref: bool = False) -> Array:
     """GroupNorm with f32 statistics, optionally fused with SiLU.
 
     Uses the VMEM-resident Pallas kernel on TPU when the shape qualifies
-    (C % 128 == 0, block fits VMEM); plain XLA otherwise / off-TPU.
+    (C % 128 == 0, block fits VMEM) AND the kernel is enabled (see
+    ``_fused_enabled``); plain XLA otherwise / off-TPU.
     """
-    if (not force_ref and _supports_fused(x)
+    if (not force_ref and _fused_enabled() and _supports_fused(x)
             and jax.default_backend() == "tpu"):
         return _fused(x, gamma, beta, num_groups, eps, act)
     return _ref(x, gamma, beta, num_groups, eps, act)

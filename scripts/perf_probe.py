@@ -61,22 +61,27 @@ def main():
         results[tag] = round(dt / N * 1000, 2)
         print(f"{tag}: {results[tag]} ms/step", flush=True)
 
-    # baseline: both kernels on
+    # baseline: both kernels on (the fused GN is default-off since r4 —
+    # force it on here so the ablation keeps measuring it)
+    from lidar_layout_tpu.ops import pallas_groupnorm as gn
+    orig_enable = gn._fused_enabled
+    gn._fused_enabled = lambda: True
     measure("unet_step_full")
 
     # ablate the fused GroupNorm kernel -> XLA reference path
-    from lidar_layout_tpu.ops import pallas_groupnorm as gn
     orig_gate = gn._supports_fused
     gn._supports_fused = lambda x: False
     measure("unet_step_xla_groupnorm")
     gn._supports_fused = orig_gate
 
     # ablate the Pallas flash attention -> XLA dot_product_attention
+    # (pallas GN still forced on, so this row is GN=pallas / attn=XLA)
     from lidar_layout_tpu.ops import pallas_attention as pa
     orig_flash = pa._supports_flash
     pa._supports_flash = lambda q, k: False
     measure("unet_step_xla_attention")
     pa._supports_flash = orig_flash
+    gn._fused_enabled = orig_enable
 
     # both off
     gn._supports_fused = lambda x: False
