@@ -162,6 +162,67 @@ def mmd_from_bitmaps(ref_bits: np.ndarray, smp_bits: np.ndarray,
     return float(np.mean(cd.min(axis=1)))
 
 
+def compact_valid_points(xyz: Array, valid: Array, cap: int
+                         ) -> Tuple[Array, Array]:
+    """(N, 3) pixel-order points + validity -> (cap, 3) valid-first points and
+    a (cap,) bool mask, matching the host feature path's convention
+    (registry.build_feature_fn: host_range2pcd compacts valid points in pixel
+    order, then the first ``cap`` are taken and pad rows are zero).
+
+    A stable argsort of ``~valid`` keeps pixel order within the valid block,
+    which is exactly host_range2pcd's compaction order."""
+    order = jnp.argsort(~valid, stable=True)
+    pts = jnp.take(xyz, order[:cap], axis=0)
+    if pts.shape[0] < cap:  # fewer pixels than the point budget: zero-pad
+        pts = jnp.pad(pts, ((0, cap - pts.shape[0]), (0, 0)))
+    n = jnp.minimum(jnp.sum(valid), cap)
+    mask = jnp.arange(cap) < n
+    return pts * mask[:, None], mask
+
+
+def voxel_feature_inputs(xyz: Array, valid: Array, cap: int,
+                         voxel_size: float = 0.05
+                         ) -> Tuple[Array, Array, Array, Array]:
+    """Device twin of build_feature_fn's per-cloud voxel preprocessing
+    (registry.py:142-159 / metric_utils.py:157-168): 0.05 m rounding,
+    min-corner shift over the valid rows, feats = [xyz, -1].
+
+    Returns (vox int32, pts f32, feats f32, mask bool), each fixed-shape
+    (cap, ...)."""
+    pts, mask = compact_valid_points(xyz, valid, cap)
+    vox = jnp.round(pts / voxel_size)
+    vmin = jnp.min(jnp.where(mask[:, None], vox, jnp.inf), axis=0)
+    vox = (vox - jnp.where(jnp.isfinite(vmin), vmin, 0.0)) * mask[:, None]
+    fts = jnp.concatenate([pts, -jnp.ones((cap, 1), pts.dtype)], axis=-1)
+    return vox.astype(jnp.int32), pts, fts, mask
+
+
+def make_voxel_descriptor_fn(mink_apply, spv_apply, geom, cap: int = 30000,
+                             voxel_size: float = 0.05):
+    """Fused FSVD/FPVD featurization for the serving loop (VERDICT r4 #6).
+
+    The host path (registry.build_feature_fn modalities 'voxel' /
+    'point_voxel') loops clouds through separately-jitted programs with a
+    ~35 ms relay round trip each; inside the generation program the same
+    MinkowskiNet + SPVCNN forwards run per batch with zero extra readback
+    beyond two (B, D) descriptor rows. ``mink_apply(vox, pts, fts, msk)`` and
+    ``spv_apply(...)`` must reproduce registry.build_feature_fn's logits_fn
+    (net.apply + depth_sector_descriptor); scan keeps activations bounded
+    (one cloud's voxel pyramid at a time)."""
+
+    def one(carry, inp):
+        xyz, valid = inp
+        vox, pts, fts, msk = voxel_feature_inputs(xyz, valid, cap, voxel_size)
+        return carry, (mink_apply(vox, pts, fts, msk),
+                       spv_apply(vox, pts, fts, msk))
+
+    def batch_fn(xyz_b: Array, valid_b: Array) -> Tuple[Array, Array]:
+        _, (fsvd, fpvd) = jax.lax.scan(one, 0.0, (xyz_b, valid_b))
+        return fsvd, fpvd
+
+    return batch_fn
+
+
 def rangenet_input_from_model_imgs(imgs: Array, geom) -> Array:
     """Decoded model-space range images (B, H, W) -> the (B, H, W, 4)
     [metric depth, x, y, z] rangenet eval input (metric_utils.py:316-321).

@@ -64,6 +64,51 @@ def build_range_feature_net(data_type: str = "64",
     return net, params
 
 
+def build_voxel_feature_net(data_type: str = "64", modality: str = "voxel",
+                            weights_root: str = "./pretrained_weights",
+                            max_points: int = 30000):
+    """One frozen voxel feature net as a device-side descriptor fn.
+
+    Same construction as build_feature_fn's voxel/point_voxel branch (same
+    SegNetConfig, same init key, same converter when weights exist) so the
+    returned ``apply_fn(vox, pts, fts, msk) -> (D,) descriptor`` and
+    ``param_hash`` are interchangeable with the host path — this is the
+    building block the fused serving gate (eval.device_metrics.
+    make_voxel_descriptor_fn) embeds into the generation program."""
+    geom = KITTI_GEOMETRY if data_type == "64" else NUSCENES_GEOMETRY
+    model_name = MODALITY2MODEL[modality]
+    dataset = "kitti" if data_type == "64" else "nuscenes"
+    wdir = os.path.join(weights_root, dataset, model_name)
+    voxel_size = 0.05
+    cfg = SegNetConfig(cr=0.5, capacity=32768, bits=10)
+    net = (SPVCNN if modality == "point_voxel" else MinkowskiNet)(cfg)
+    cap = max_points
+    params = net.init(jax.random.key(0), jnp.zeros((cap, 3), jnp.int32),
+                      jnp.zeros((cap, cfg.input_dims)),
+                      jnp.zeros((cap,), bool))
+    if os.path.isdir(wdir):
+        import torch
+
+        ckpt = torch.load(os.path.join(wdir, "model.ckpt"), map_location="cpu")
+        sd = {k: v.numpy() for k, v in ckpt["state_dict"].items()
+              if hasattr(v, "numpy")}
+        params = convert_torchsparse_state_dict(
+            sd, cfg, "spvcnn" if modality == "point_voxel" else "minkowskinet")
+    else:
+        print(f"[eval] no pretrained weights at {wdir} — {model_name} "
+              f"features are randomly initialized (relative comparisons only)")
+
+    def apply_fn(vox, pts, fts, msk):
+        out = net.apply(params, vox, fts, msk, return_final_logits=True)
+        anchor = (out["coords"].astype(jnp.float32) * voxel_size
+                  if modality == "voxel" else pts)
+        return depth_sector_descriptor(anchor, out["logits"], out["mask"],
+                                       depth_range=geom.depth_range)
+
+    apply_fn.param_hash = params_hash(params)
+    return apply_fn
+
+
 def build_feature_fn(data_type: str = "64", modality: str = "range",
                      weights_root: str = "./pretrained_weights",
                      max_points: int = 30000,

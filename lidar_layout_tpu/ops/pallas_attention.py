@@ -96,10 +96,15 @@ def _flash_fwd_tpu(q: Array, k: Array, v: Array,
     # (scripts/attn_block_sweep.py r4): S=2048 22.5/27.5/29.1 TF/s and
     # S=512 7.2/9.3/11.1 TF/s for bq 128/256/512 — bigger q-blocks win
     # at every shape that admits them (fewer grid steps re-reading K/V).
-    bq = next((c for c in (512, 256, 128) if s % c == 0))
+    # direct callers (e.g. attn_block_sweep) can bypass _supports_flash, so
+    # guard here: a block with last dim < 128 hits the documented Mosaic
+    # garbage-lane hazard (CLAUDE.md), and S not divisible by 128 has no
+    # valid q-block at all
+    assert s % 128 == 0, f"flash attention needs S % 128 == 0, got S={s}"
+    bq = next((c for c in (512, 256, 128) if s % c == 0), 128)
     import os
     bq_env = int(os.environ.get("LLT_ATTN_BQ", "0"))  # retune experiments
-    if bq_env and s % bq_env == 0:
+    if bq_env >= 128 and bq_env % 128 == 0 and s % bq_env == 0:
         bq = bq_env
     scale = d ** -0.5
     # D-major: (BH, D, S)
