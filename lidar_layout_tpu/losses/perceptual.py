@@ -32,7 +32,10 @@ def normalize_channels(x: Array, eps: float = 1e-10) -> Array:
 
 def make_perceptual_fn(geom: LidarGeometry, params=None,
                        stages: Sequence[str] = DEFAULT_STAGES,
-                       rng_seed: int = 0) -> Callable[[Array, Array], Array]:
+                       rng_seed: int = 0,
+                       stage_scales: Sequence[float] = None,
+                       descriptor_weight: float = 0.0
+                       ) -> Callable[[Array, Array], Array]:
     """Build perceptual_fn(inputs, recon) for losses.vq_loss.reconstruction_nll.
 
     inputs/recon are model-space (B, H, W, 1) range images; features are
@@ -55,15 +58,31 @@ def make_perceptual_fn(geom: LidarGeometry, params=None,
         xyz = dirs[None] * depth[..., None]
         return jnp.concatenate([depth[..., None], xyz], axis=-1)
 
+    # reference per-stage scales follow the dec_0..dec_4 order; a stage
+    # subset keeps each stage's own scale (stage selection = the
+    # "perceptual-layer weighting" lever, VERDICT r4 task 2)
+    if stage_scales is None:
+        stage_scales = [STAGE_SCALES[DEFAULT_STAGES.index(s)] for s in stages]
+
     def perceptual_fn(target: Array, recon: Array) -> Array:
         f0 = net.apply(params, preprocess(recon), return_features=True)
         f1 = net.apply(params, preprocess(target), return_features=True)
         total = 0.0
-        for scale, name in zip(STAGE_SCALES, stages):
+        for scale, name in zip(stage_scales, stages):
             a = normalize_channels(jax.lax.stop_gradient(f1[name]))
             b = normalize_channels(f0[name])
             diff = jnp.abs(a - b).mean(axis=-1)          # l1, channel mean
             total = total + scale * diff.mean()
+        if descriptor_weight:
+            # deepest layer: the FRID descriptor itself (final logits,
+            # depth-sector aggregated) — per-sample L2 matching bounds the
+            # Frechet mean term the stage losses don't directly see
+            d0 = net.apply(params, preprocess(recon),
+                           return_final_logits=True, agg_type="depth")
+            d1 = jax.lax.stop_gradient(net.apply(
+                params, preprocess(target), return_final_logits=True,
+                agg_type="depth"))
+            total = total + descriptor_weight * jnp.mean((d0 - d1) ** 2)
         return total
 
     return perceptual_fn

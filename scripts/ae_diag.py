@@ -56,6 +56,18 @@ def main():
                         "(autoencoder_c2_p4.yaml use_mask: False)")
     p.add_argument("--vq-init", default="taming",
                    help="taming | normal (see nn/quantize.py)")
+    p.add_argument("--perceptual-factor", type=float, default=0.0,
+                   help="rangenet_dec perceptual loss weight (the northstar "
+                        "r4 recipe uses 1.0; vqperceptual.py:109-114)")
+    p.add_argument("--perceptual-stages", default="",
+                   help="comma list of rangenet stages for the perceptual "
+                        "loss (default: all of dec_0..dec_4); e.g. "
+                        "'dec_3,dec_4' weights the deep stages the FRID "
+                        "probe blames")
+    p.add_argument("--descriptor-factor", type=float, default=0.0,
+                   help="weight of an L2 match on the FRID descriptor "
+                        "itself (deepest perceptual layer: final logits, "
+                        "depth-aggregated)")
     p.add_argument("--workdir", default="./runs/ae_diag")
     p.add_argument("--out", default="AE_DIAG.json")
     p.add_argument("--cpu", action="store_true")
@@ -88,7 +100,9 @@ def main():
                          for k in ("steps", "batch", "pool", "ch", "n_embed",
                                    "embed_dim", "disc_start", "geo_factor",
                                    "mask_factor", "curve_length", "no_mask",
-                                   "vq_init")}}
+                                   "vq_init", "perceptual_factor",
+                                   "perceptual_stages", "descriptor_factor",
+                                   "n_eval")}}
 
     if args.tiny:
         geom = LidarGeometry(size=(16, 128))
@@ -147,6 +161,22 @@ def main():
                             curve_length=args.curve_length,
                             disc_start=args.disc_start,
                             disc_weight=args.disc_weight)
+    perceptual_fn = None
+    if args.perceptual_factor > 0 or args.descriptor_factor > 0:
+        import dataclasses as _dc
+        loss_cfg = _dc.replace(loss_cfg,
+                               perceptual_factor=max(args.perceptual_factor,
+                                                     1e-9))
+        from lidar_layout_tpu.losses.perceptual import (DEFAULT_STAGES,
+                                                        make_perceptual_fn)
+        stages = (tuple(args.perceptual_stages.split(","))
+                  if args.perceptual_stages else DEFAULT_STAGES)
+        # descriptor term rides inside perceptual_fn, scaled so that
+        # perceptual_factor * (stage terms + desc/pf) = stages + descriptor
+        pf = max(args.perceptual_factor, 1e-9)
+        perceptual_fn = make_perceptual_fn(
+            geom, stages=stages,
+            descriptor_weight=args.descriptor_factor / pf)
     geo = GeoConverter(geom, curve_length=loss_cfg.curve_length)
     disc = LiDARNLayerDiscriminator()
     tx_g, tx_d = make_ae_optimizers(args.lr, args.lr)
@@ -163,7 +193,8 @@ def main():
                 "mask": jnp.take(data["mask"], idx, axis=0)}
 
     step_fn = make_chunked_ae_train_step(ae, disc, loss_cfg, geo, tx_g, tx_d,
-                                         batch_fn, chunk)
+                                         batch_fn, chunk,
+                                         perceptual_fn=perceptual_fn)
     start_c = 0
     saved = latest_step(ckpt_dir)
     if saved is not None:
@@ -171,18 +202,28 @@ def main():
         start_c = saved // chunk
         print(f"[ae_diag] resumed at step {saved}", flush=True)
     t0 = time.perf_counter()
+    nll_last = None
     for c in range(start_c, n_chunks):
         state, logs = step_fn(state, jax.random.key(c), pool_data)
         if c % max(n_chunks // 10, 1) == 0 or c == n_chunks - 1:
-            print(f"  step {(c + 1) * chunk}: nll={float(logs['nll_loss']):.4f}"
+            nll_last = float(logs["nll_loss"])
+            print(f"  step {(c + 1) * chunk}: nll={nll_last:.4f}"
                   f" q={float(logs['quant_loss']):.4f}", flush=True)
         if (c + 1) % max(n_chunks // 4, 1) == 0 and c != n_chunks - 1:
             save_checkpoint(ckpt_dir, (c + 1) * chunk, state)
-    save_checkpoint(ckpt_dir, n_chunks * chunk, state)
+    trained_this_run = start_c < n_chunks
+    if trained_this_run:
+        save_checkpoint(ckpt_dir, n_chunks * chunk, state)
     train_secs = time.perf_counter() - t0
+    # provenance (VERDICT r4 task 8): a restored-complete stage must not
+    # masquerade as a training run
     report["train"] = {"steps": n_chunks * chunk,
                        "seconds": round(train_secs, 1),
-                       "nll_last": round(float(logs["nll_loss"]), 4)}
+                       "trained_this_run": trained_this_run,
+                       "restored_from": ckpt_dir if saved is not None
+                       else None,
+                       "nll_last": None if nll_last is None
+                       else round(nll_last, 4)}
 
     # ---------------------------- diagnostics ---------------------------
     params = state.params_g
@@ -200,6 +241,7 @@ def main():
 
     B = 16
     full_clouds, truemask_clouds, noq_clouds = [], [], []
+    variants = []  # cached (im_full, im_tm, im_nq) per batch for the probes
     mae_n = mae_d = 0.0
     tp = fp = fn = 0.0
     code_hist = np.zeros(args.n_embed, np.int64)
@@ -224,15 +266,17 @@ def main():
         tp += float((pred_hit * hit).sum())
         fp += float((pred_hit * (1 - hit)).sum())
         fn += float(((1 - pred_hit) * hit).sum())
+        im_full_b = np.where(pred_hit > 0, pred_depth, -1.0)
+        im_tm_b = np.where(hit > 0, pred_depth, -1.0)
+        if args.no_mask:
+            im_nq_b = noq[..., 0]
+        else:
+            im_nq_b = np.where(noq[..., 1] >= 0, noq[..., 0], -1.0)
+        variants.append((im_full_b, im_tm_b, im_nq_b))
         for k in range(dec.shape[0]):
-            im_full = np.where(pred_hit[k] > 0, pred_depth[k], -1.0)
-            im_tm = np.where(hit[k] > 0, pred_depth[k], -1.0)
-            if args.no_mask:
-                im_nq = noq[k, ..., 0]
-            else:
-                im_nq = np.where(noq[k, ..., 1] >= 0, noq[k, ..., 0], -1.0)
-            for im, dst in ((im_full, full_clouds), (im_tm, truemask_clouds),
-                            (im_nq, noq_clouds)):
+            for im, dst in ((im_full_b[k], full_clouds),
+                            (im_tm_b[k], truemask_clouds),
+                            (im_nq_b[k], noq_clouds)):
                 dst.append(host_range2pcd(im, geom))
 
     probs = code_hist / max(code_hist.sum(), 1)
@@ -274,72 +318,68 @@ def main():
 
     net, net_params = build_range_feature_net("64")
 
+    # All feature comparisons REDUCE ON DEVICE (r5): full-res DarkNet stage
+    # maps are ~8 MB/image — staging them out through the ~300 KB/s relay
+    # (the r4 version's layout) costs minutes per batch; the probes only
+    # need per-stage scalar sums + (B, D) descriptor rows.
     @jax.jit
-    def feats_and_desc(imgs):
-        rin = rangenet_input_from_model_imgs(imgs[..., 0], geom)
-        feats = net.apply(net_params, rin, return_features=True)
-        desc = net.apply(net_params, rin, return_final_logits=True,
-                         agg_type="depth")
-        return feats, desc
-
-    stage_names = None
-    stage_l1 = {}
-    stage_l1_edge = stage_l1_int = edge_px = int_px = 0.0
-    descs = {"gt": [], "recon": [], "truemask": [], "noquant": []}
-    for i in range(0, args.n_eval, B):
-        x = jnp.asarray(eval_imgs[i:i + B])
-        hit = (eval_hits[i:i + B] > 0).astype(np.float32)
-        dec, _ = jax.tree.map(np.asarray, recon_batch(x))
-        dec = dec.astype(np.float32)
-        noq = np.asarray(recon_noquant(x)).astype(np.float32)
-        pred_depth = dec[..., 0]
-        if args.no_mask:
-            pred_hit = (pred_depth >= geom.depth_thresh).astype(np.float32)
-        else:
-            pred_hit = (dec[..., 1] >= 0.0).astype(np.float32)
-        im_full = np.where(pred_hit > 0, pred_depth, -1.0)[..., None]
-        im_tm = np.where(hit > 0, pred_depth, -1.0)[..., None]
-        if args.no_mask:
-            im_nq = noq[..., 0:1]
-        else:
-            im_nq = np.where(noq[..., 1:2] >= 0, noq[..., 0:1], -1.0)
-
-        f_gt, d_gt = jax.tree.map(np.asarray, feats_and_desc(x))
-        f_rc, d_rc = jax.tree.map(np.asarray,
-                                  feats_and_desc(jnp.asarray(im_full)))
-        _, d_tm = jax.tree.map(np.asarray, feats_and_desc(jnp.asarray(im_tm)))
-        _, d_nq = jax.tree.map(np.asarray, feats_and_desc(jnp.asarray(im_nq)))
-        descs["gt"].append(d_gt)
-        descs["recon"].append(d_rc)
-        descs["truemask"].append(d_tm)
-        descs["noquant"].append(d_nq)
-
-        if stage_names is None:
-            stage_names = sorted(f_gt.keys())
-            stage_l1 = {s: [0.0, 0.0] for s in stage_names}
+    def probe_batch(x, im_full, im_tm, im_nq):
+        rin = lambda im: rangenet_input_from_model_imgs(im[..., 0], geom)
+        f_gt = net.apply(net_params, rin(x), return_features=True)
+        f_rc = net.apply(net_params, rin(im_full), return_features=True)
+        desc = {k: net.apply(net_params, rin(v), return_final_logits=True,
+                             agg_type="depth")
+                for k, v in (("gt", x), ("recon", im_full),
+                             ("truemask", im_tm), ("noquant", im_nq))}
         # edge mask from GT: horizontal depth discontinuity (model space),
         # dilated 1 px each side — the flying-pixel locus
         d0 = x[..., 0]
-        dx = np.abs(np.diff(np.asarray(d0), axis=-1, append=d0[..., -1:]))
-        edge = (dx > 0.05).astype(np.float32)
-        edge = np.maximum(edge, np.roll(edge, 1, -1))
-        edge = np.maximum(edge, np.roll(edge, -1, -1))
-        for s in stage_names:
-            a = np.asarray(normalize_channels(jnp.asarray(f_gt[s])))
-            bfeat = np.asarray(normalize_channels(jnp.asarray(f_rc[s])))
-            diff = np.abs(a - bfeat).mean(-1)          # (B, H, W')
-            stage_l1[s][0] += float(diff.sum())
-            stage_l1[s][1] += float(diff.size)
+        dx = jnp.abs(jnp.diff(d0, axis=-1, append=d0[..., -1:]))
+        edge = (dx > 0.05).astype(jnp.float32)
+        edge = jnp.maximum(edge, jnp.roll(edge, 1, -1))
+        edge = jnp.maximum(edge, jnp.roll(edge, -1, -1))
+        stats = {}
+        ei = jnp.zeros((4,))  # edge_sum, edge_px, int_sum, int_px
+        for s in sorted(f_gt.keys()):
+            a = normalize_channels(f_gt[s])
+            bfeat = normalize_channels(f_rc[s])
+            diff = jnp.abs(a - bfeat).mean(-1)         # (B, H, W')
+            stats[s] = jnp.asarray([diff.sum(), float(diff.size)])
             if diff.shape[1:] == edge.shape[1:]:       # full-res stage only
-                stage_l1_edge += float((diff * edge).sum())
-                edge_px += float(edge.sum())
-                stage_l1_int += float((diff * (1 - edge)).sum())
-                int_px += float((1 - edge).sum())
+                ei = ei + jnp.asarray([(diff * edge).sum(), edge.sum(),
+                                       (diff * (1 - edge)).sum(),
+                                       (1 - edge).sum()])
+        return desc, stats, ei
+
+    stage_l1 = None
+    ei_tot = np.zeros(4)
+    descs = {"gt": [], "recon": [], "truemask": [], "noquant": []}
+    for bi, i in enumerate(range(0, args.n_eval, B)):
+        x = jnp.asarray(eval_imgs[i:i + B])
+        im_full_b, im_tm_b, im_nq_b = variants[bi]  # cached from the diag loop
+        desc, stats, ei = jax.tree.map(np.asarray, probe_batch(
+            x, jnp.asarray(im_full_b[..., None]),
+            jnp.asarray(im_tm_b[..., None]),
+            jnp.asarray(im_nq_b[..., None])))
+        for k in descs:
+            descs[k].append(desc[k])
+        if stage_l1 is None:
+            stage_l1 = {s: [0.0, 0.0] for s in stats}
+        for s, v in stats.items():
+            stage_l1[s][0] += float(v[0])
+            stage_l1[s][1] += float(v[1])
+        ei_tot += ei
+    stage_l1_edge, edge_px, stage_l1_int, int_px = ei_tot
 
     descs = {k: np.concatenate(v).astype(np.float64) for k, v in descs.items()}
     half = args.n_eval // 2
+    # Frechet = ||mu1-mu2||^2 + Tr(C1+C2-2(C1 C2)^0.5): the mean term is a
+    # per-sample-matchable offset (a descriptor/perceptual loss can drive it
+    # down); the covariance term is a diversity/structure mismatch
+    mean_term = float(((descs["gt"].mean(0) - descs["recon"].mean(0))**2).sum())
     report["feature_probes"] = {
         "frid_recon": round(frechet_distance(descs["gt"], descs["recon"]), 2),
+        "frid_recon_mean_term": round(mean_term, 2),
         "frid_recon_truemask": round(
             frechet_distance(descs["gt"], descs["truemask"]), 2),
         "frid_recon_noquant": round(

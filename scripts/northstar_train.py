@@ -39,8 +39,8 @@ def main():
     p.add_argument("--sample-steps", type=int, default=50)
     p.add_argument("--chunk", type=int, default=50,
                    help="optimizer steps fused per dispatch (lax.scan)")
-    p.add_argument("--workdir", default="./runs/northstar_r03")
-    p.add_argument("--out", default="NORTHSTAR_r03.json")
+    p.add_argument("--workdir", default="./runs/northstar_r05")
+    p.add_argument("--out", default="NORTHSTAR_r05.json")
     p.add_argument("--lidm-lr", type=float, default=2e-4)
     p.add_argument("--cosine", action="store_true",
                    help="1k-step warmup + cosine decay to 10% for stage B")
@@ -74,6 +74,12 @@ def main():
                         "left the recon FRID ceiling at 198 vs a 2.5 floor "
                         "with JSD/MMD saturated: the AE loses feature-space "
                         "detail that pixel losses don't see (VERDICT r3 #4)")
+    p.add_argument("--perceptual-stages", default="",
+                   help="comma list of rangenet stages for the perceptual "
+                        "loss (default all dec_0..dec_4; see ae_diag)")
+    p.add_argument("--descriptor-factor", type=float, default=0.0,
+                   help="L2 match on the FRID descriptor itself (deepest "
+                        "perceptual layer; VERDICT r4 task 2)")
     args = p.parse_args()
 
     import jax
@@ -108,7 +114,9 @@ def main():
                                       "lidm_batch", "pool", "ae_ch",
                                       "n_embed", "no_mask", "vq_init",
                                       "cosine", "scale_by_std",
-                                      "perceptual_factor")}}
+                                      "perceptual_factor",
+                                      "perceptual_stages",
+                                      "descriptor_factor")}}
 
     if args.tiny:
         geom = LidarGeometry(size=(16, 128))
@@ -199,12 +207,17 @@ def main():
                                 curve_length=1, disc_start=2000,
                                 disc_weight=0.3)
     perceptual_fn = None
-    if args.perceptual_factor > 0:
+    if args.perceptual_factor > 0 or args.descriptor_factor > 0:
         import dataclasses as _dc
-        loss_cfg = _dc.replace(loss_cfg,
-                               perceptual_factor=args.perceptual_factor)
-        from lidar_layout_tpu.losses.perceptual import make_perceptual_fn
-        perceptual_fn = make_perceptual_fn(geom)  # key(0) = FRID feature net
+        pf = max(args.perceptual_factor, 1e-9)
+        loss_cfg = _dc.replace(loss_cfg, perceptual_factor=pf)
+        from lidar_layout_tpu.losses.perceptual import (DEFAULT_STAGES,
+                                                        make_perceptual_fn)
+        stages = (tuple(args.perceptual_stages.split(","))
+                  if args.perceptual_stages else DEFAULT_STAGES)
+        perceptual_fn = make_perceptual_fn(  # key(0) = FRID feature net
+            geom, stages=stages,
+            descriptor_weight=args.descriptor_factor / pf)
     geo = GeoConverter(geom, curve_length=loss_cfg.curve_length)
     disc = LiDARNLayerDiscriminator()
     tx_g, tx_d = make_ae_optimizers(2e-4, 2e-4)
@@ -221,7 +234,9 @@ def main():
     chunk = max(min(args.chunk, args.ae_steps), 1)
     n_chunks = max(args.ae_steps // chunk, 1)
     saved_a = None if args.tiny else latest_step(ae_ckpt_dir)
-    if saved_a is not None and saved_a >= n_chunks * chunk:
+    a_trained_this_run = not (saved_a is not None
+                              and saved_a >= n_chunks * chunk)
+    if not a_trained_this_run:
         ae_state = restore_checkpoint(ae_ckpt_dir, ae_state)
         print(f"[northstar] stage A restored from {ae_ckpt_dir}", flush=True)
         first_rec = last_rec = None  # training stats live in the run's log
@@ -257,6 +272,10 @@ def main():
         print(f"[northstar] stage A checkpoint -> {ae_ckpt_dir}", flush=True)
     report["stages"]["ae"] = {
         "steps": args.ae_steps, "seconds": round(time.perf_counter() - t0, 1),
+        # provenance (VERDICT r4 task 8): "seconds" of a restored stage is
+        # restore time, NOT training time — say which this was
+        "trained_this_run": a_trained_this_run,
+        "restored_from": None if saved_a is None else ae_ckpt_dir,
         "nll_first": None if first_rec is None else round(first_rec, 4),
         "nll_last": None if last_rec is None else round(last_rec, 4)}
 
@@ -298,7 +317,9 @@ def main():
     chunk = max(min(args.chunk, args.lidm_steps), 1)
     n_chunks = max(args.lidm_steps // chunk, 1)
     saved_b = None if args.tiny else latest_step(lidm_ckpt_dir)
-    if saved_b is not None and saved_b >= n_chunks * chunk:
+    b_trained_this_run = not (saved_b is not None
+                              and saved_b >= n_chunks * chunk)
+    if not b_trained_this_run:
         dstate = restore_checkpoint(lidm_ckpt_dir, dstate)
         print(f"[northstar] stage B restored from {lidm_ckpt_dir}",
               flush=True)
@@ -335,6 +356,8 @@ def main():
     report["stages"]["lidm"] = {
         "steps": n_chunks * chunk,
         "seconds": round(time.perf_counter() - t0, 1),
+        "trained_this_run": b_trained_this_run,
+        "restored_from": None if saved_b is None else lidm_ckpt_dir,
         "loss_first": None if first_loss is None else round(first_loss, 4),
         "loss_last": None if last_loss is None else round(last_loss, 4)}
 
