@@ -198,7 +198,7 @@ def voxel_feature_inputs(xyz: Array, valid: Array, cap: int,
 
 
 def make_voxel_descriptor_fn(mink_apply, spv_apply, geom, cap: int = 30000,
-                             voxel_size: float = 0.05):
+                             voxel_size: float = 0.05, group: int = 10):
     """Fused FSVD/FPVD featurization for the serving loop (VERDICT r4 #6).
 
     The host path (registry.build_feature_fn modalities 'voxel' /
@@ -207,18 +207,32 @@ def make_voxel_descriptor_fn(mink_apply, spv_apply, geom, cap: int = 30000,
     MinkowskiNet + SPVCNN forwards run per batch with zero extra readback
     beyond two (B, D) descriptor rows. ``mink_apply(vox, pts, fts, msk)`` and
     ``spv_apply(...)`` must reproduce registry.build_feature_fn's logits_fn
-    (net.apply + depth_sector_descriptor); scan keeps activations bounded
-    (one cloud's voxel pyramid at a time)."""
+    (net.apply + depth_sector_descriptor).
 
-    def one(carry, inp):
-        xyz, valid = inp
+    Structure: lax.scan over chunks of ``group`` clouds with vmap inside.
+    A fully serialized scan (r5's first cut) left the sparse convs' tiny
+    gather+matmul work starving the MXU — 19.9 s/batch of 50, 75% of the
+    serving program; vmapping ``group`` clouds batches those GEMMs while a
+    chunk's gather buffers (~27 x capacity x channels) stay bounded."""
+
+    def one(xyz, valid):
         vox, pts, fts, msk = voxel_feature_inputs(xyz, valid, cap, voxel_size)
-        return carry, (mink_apply(vox, pts, fts, msk),
-                       spv_apply(vox, pts, fts, msk))
+        return (mink_apply(vox, pts, fts, msk),
+                spv_apply(vox, pts, fts, msk))
 
     def batch_fn(xyz_b: Array, valid_b: Array) -> Tuple[Array, Array]:
-        _, (fsvd, fpvd) = jax.lax.scan(one, 0.0, (xyz_b, valid_b))
-        return fsvd, fpvd
+        b = xyz_b.shape[0]
+        g = next(d for d in range(min(group, b), 0, -1) if b % d == 0)
+
+        def body(c, inp):
+            x, v = inp
+            return c, jax.vmap(one)(x, v)
+
+        xb = xyz_b.reshape(b // g, g, *xyz_b.shape[1:])
+        vb = valid_b.reshape(b // g, g, *valid_b.shape[1:])
+        _, (fsvd, fpvd) = jax.lax.scan(body, 0.0, (xb, vb))
+        return (fsvd.reshape(b, fsvd.shape[-1]),
+                fpvd.reshape(b, fpvd.shape[-1]))
 
     return batch_fn
 
