@@ -41,6 +41,15 @@ def main():
     p.add_argument("--ae-batch", type=int, default=8)
     p.add_argument("--lidm-batch", type=int, default=32)
     p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--dtype", default="f32", choices=("f32", "bf16"),
+                   help="training compute dtype (params/norms stay f32 — the "
+                        "models' mixed-precision policy). The r4 baseline "
+                        "trained f32; bf16 is the VERDICT r4 task-4 lever")
+    p.add_argument("--phases", action="store_true",
+                   help="additionally time fwd-only and fwd+bwd programs per "
+                        "stage (attribution of the optimizer/disc residue)")
+    p.add_argument("--out", default="",
+                   help="also write the JSON to this path")
     args = p.parse_args()
 
     import jax
@@ -110,11 +119,32 @@ def main():
         ts.sort()
         return ts[len(ts) // 2]
 
-    out = {"chunk": args.chunk, "device":
+    out = {"chunk": args.chunk, "dtype": args.dtype, "device":
            getattr(jax.devices()[0], "device_kind", "unknown")}
+    cdt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+
+    def timed_phase(body_fn, payload, reps):
+        """Scan-chunked phase probe: body(carry, rng, payload) -> carry, K
+        inner iterations per dispatch, scalar readback. The carry feeds each
+        iteration so XLA cannot hoist the body (PERF.md pitfall 3)."""
+        @jax.jit
+        def run(carry, rng, pl):
+            def body(c, i):
+                return body_fn(c, jax.random.fold_in(rng, i), pl), 0.0
+            c, _ = jax.lax.scan(body, carry, jnp.arange(args.chunk))
+            return c
+
+        c = float(run(jnp.zeros((), jnp.float32), jax.random.key(0), payload))
+        ts = []
+        for i in range(reps):
+            t0 = time.perf_counter()
+            _ = float(run(jnp.asarray(c), jax.random.key(i + 1), payload))
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return ts[len(ts) // 2] / args.chunk
 
     # ------------------------- stage A: VQ-GAN AE -------------------------
-    ae = VQModel(ae_cfg, n_embed=2048, embed_dim=8, use_mask=True)
+    ae = VQModel(ae_cfg, n_embed=2048, embed_dim=8, use_mask=True, dtype=cdt)
     loss_cfg = VQLossConfig(mask_factor=1.0, geo_factor=1.0, curve_length=1,
                             disc_start=0, disc_weight=0.3)
     geo = GeoConverter(geom, curve_length=loss_cfg.curve_length)
@@ -139,12 +169,46 @@ def main():
         "step_tflops": round(ae_flops / 1e12, 3),
         "mfu": round(ae_flops * args.chunk / dt / PEAK_BF16, 4),
     }
+    if args.phases:
+        import optax
+
+        from lidar_layout_tpu.losses.vq_loss import reconstruction_nll
+        bfn = make_batch_fn(args.ae_batch)
+
+        def ae_gen_loss(pg, b):
+            dec, qloss, _ = ae.apply(pg, b["image"])
+            nll, _ = reconstruction_nll(loss_cfg, geo, b["image"], dec,
+                                        b["mask"])
+            return (nll + qloss).astype(jnp.float32)
+
+        def ae_fwd(c, r, pl):
+            st, d = pl
+            return c + ae_gen_loss(st.params_g, bfn(r, d))
+
+        def ae_fwdbwd(c, r, pl):
+            st, d = pl
+            g = jax.grad(ae_gen_loss)(st.params_g, bfn(r, d))
+            return c + optax.global_norm(g).astype(jnp.float32)
+
+        import optax
+        t_fwd = timed_phase(ae_fwd, (ae_state, data), args.reps)
+        t_fb = timed_phase(ae_fwdbwd, (ae_state, data), args.reps)
+        out["ae"]["phase_ms_per_step"] = {
+            "gen_fwd": round(t_fwd * 1e3, 2),
+            "gen_fwd_bwd": round(t_fb * 1e3, 2),
+            "full_step": round(dt / args.chunk * 1e3, 2),
+            "residue_disc_opt_ema": round((dt / args.chunk - t_fb) * 1e3, 2),
+            "note": ("gen_fwd/gen_fwd_bwd probe the generator's nll+quant "
+                     "path only (no adaptive-weight disc term); full_step "
+                     "is the production gen+disc+optimizers+EMA step"),
+        }
     print(json.dumps(out["ae"]), flush=True)
     del ae_state, ae_chunked
 
     # ------------------------- stage B: latent DDPM -----------------------
     model = LatentDiffusion(diff_cfg, unet_cfg, first_stage_cfg=ae_cfg,
-                            n_embed=2048, embed_dim=8, use_mask=True)
+                            n_embed=2048, embed_dim=8, use_mask=True,
+                            dtype=cdt)
     params = model.init(jax.random.key(1), image_shape=(h, w, 1))
     tx = make_optimizer(2e-4)
     dstate = create_train_state(model, params, tx)
@@ -165,7 +229,37 @@ def main():
         "step_tflops": round(lidm_flops / 1e12, 3),
         "mfu": round(lidm_flops * args.chunk / dt / PEAK_BF16, 4),
     }
+    if args.phases:
+        bfn_l = make_batch_fn(args.lidm_batch)
+
+        def lidm_loss(unet_p, full_p, r, d):
+            loss, _ = model.training_loss({**full_p, "unet": unet_p},
+                                          jax.random.fold_in(r, 1),
+                                          bfn_l(r, d))
+            return loss.astype(jnp.float32)
+
+        def l_fwd(c, r, pl):
+            st, d = pl
+            return c + lidm_loss(st.params["unet"], st.params, r, d)
+
+        def l_fwdbwd(c, r, pl):
+            import optax
+            st, d = pl
+            g = jax.grad(lidm_loss)(st.params["unet"], st.params, r, d)
+            return c + optax.global_norm(g).astype(jnp.float32)
+
+        t_fwd = timed_phase(l_fwd, (dstate, data), args.reps)
+        t_fb = timed_phase(l_fwdbwd, (dstate, data), args.reps)
+        out["lidm"]["phase_ms_per_step"] = {
+            "fwd": round(t_fwd * 1e3, 2),
+            "fwd_bwd": round(t_fb * 1e3, 2),
+            "full_step": round(dt / args.chunk * 1e3, 2),
+            "residue_opt_ema": round((dt / args.chunk - t_fb) * 1e3, 2),
+        }
     print(json.dumps(out))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=2)
 
 
 if __name__ == "__main__":
