@@ -139,22 +139,27 @@ def main():
     print(f"[2k] restored step {int(dstate.step)}", flush=True)
     n_pts = 8000 if args.smoke else 120000
 
-    # scale_factor is config-side, not checkpointed: recalibrate exactly as
-    # northstar_train did (same first pool scenes -> encode -> 1/std)
+    # scale_factor is config-side, not checkpointed: recalibrate EXACTLY as
+    # northstar_train did — the same first pool scenes (device_synthetic,
+    # key 1_000_000, first 16 of the 64-scene chunk) -> encode -> 1/std.
+    # r4 probed from a different scene source here; any std mismatch shifts
+    # the sampler's effective SNR relative to training.
     @jax.jit
     def project(pts):
         img, _ = L.pcd2range(pts, geom)
         model_img, mask = L.process_scan(img, geom)
         return model_img, mask
 
-    n_probe = 4 if args.smoke else 16
-    probe = np.zeros((n_probe, h, w, 1), np.float32)
-    for i in range(n_probe):
-        img, _ = project(jnp.asarray(
-            synthetic_scene(np.random.default_rng(i), n_pts)))
-        probe[i, ..., 0] = np.asarray(img)
-    s = apply_scale_by_std(model_f32, trained, jnp.asarray(probe))
-    print(f"[2k] scale_factor={float(s):.4f}", flush=True)
+    from lidar_layout_tpu.data.device_synthetic import scene_image_batch
+    im16, _ = scene_image_batch(jax.random.key(1_000_000),
+                                4 if args.smoke else 64, n_pts, geom)
+    # northstar_train's probe slice goes through an f16 host roundtrip
+    probe = jnp.asarray(np.asarray(
+        im16[: 4 if args.smoke else 16].astype(jnp.float16)
+    ).astype(np.float32)[..., None])
+    s = apply_scale_by_std(model_f32, trained, probe)
+    print(f"[2k] scale_factor={float(s):.4f} (must match the train log)",
+          flush=True)
 
     lh, lw, lc = diff_cfg.latent_shape
     b = args.batch
@@ -442,14 +447,19 @@ def main():
         "description": (
             "End-to-end 2k-sample loop on the trained north-star LiDM (EMA): "
             "per compiled batch, bf16 DPM-Solver++(2M) + f32 VQ decode + "
-            "reprojection + ALL five metric featurizations on device (JSD "
-            "count-histogram accumulation, MMD BEV occupancy bitmaps packed "
-            "to uint8, DarkNet21 FRID rows, MinkowskiNet FSVD + SPVCNN FPVD "
-            "descriptor rows, f16) — readback is descriptor rows, not "
-            "clouds; batch k+1 dispatches before batch k's readback. Host "
-            "closes with distance transforms + matmuls + Frechet. "
-            "Steady-state clock; compile and reference-set scoring reported "
-            "separately."),
+            "reprojection + "
+            + ("ALL five metric featurizations on device (JSD count-"
+               "histogram accumulation, MMD BEV occupancy bitmaps packed to "
+               "uint8, DarkNet21 FRID rows, MinkowskiNet FSVD + SPVCNN FPVD "
+               "descriptor rows, f16)" if five else
+               "JSD/MMD/FRID featurization on device (count-histogram "
+               "accumulation, packed BEV occupancy bitmaps, DarkNet21 FRID "
+               "rows in f16; FSVD/FPVD via --no-voxel-metrics off — see "
+               "NORTHSTAR_2K_5METRIC.json for the five-metric pass)")
+            + " — readback is descriptor rows, not clouds; batch k+1 "
+            "dispatches before batch k's readback. Host closes with "
+            "distance transforms + matmuls + Frechet. Steady-state clock; "
+            "compile and reference-set scoring reported separately."),
     }
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
