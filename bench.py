@@ -155,12 +155,17 @@ def main():
         fn = make_sample(b)
         _ = float(fn(params, rng))
         plain = b / _timeit(fn, params, rng, reps=2)
-        fnm = make_sample(b, micro=16)
-        _ = float(fnm(params, rng))
-        mic = b / _timeit(fnm, params, rng, reps=2)
+        try:
+            fnm = make_sample(b, micro=16)
+            _ = float(fnm(params, rng))
+            mic = b / _timeit(fnm, params, rng, reps=2)
+        except Exception as e:  # never let the variant sink the headline
+            mic, e_msg = 0.0, f"{type(e).__name__}: {e}"[:120]
+        else:
+            e_msg = None
         sweep[str(b)] = round(max(plain, mic), 2)
         sweep_detail[str(b)] = {"plain": round(plain, 2),
-                                "micro16_laxmap": round(mic, 2)}
+                                "micro16_laxmap": round(mic, 2) or e_msg}
 
     baseline = 0.02  # reference: 50 s/sample class, 50-step DDIM, RTX 3090
     result = {
